@@ -1,0 +1,277 @@
+"""Experiment configuration: defaults per experiment kind + named datasets.
+
+Public surface matches the reference's config/base.py: the same four
+experiment blocks (sample / sizes / train / pg), the same named dataset
+configs (compressed_animals, neg_compressed_animals, *_rwr, vqa_v0,
+llava_vqa, llava_counting, llava_bertscore, a_dog_1/2, a_animals[_rwr],
+*_nocfg), and the same three-level merge semantics handled by
+ddpo_tpu.utils.parser (base[experiment] <- dataset["common"] <-
+dataset[experiment] <- CLI extras). Values are the reference defaults
+(config/base.py:3-103) unless noted.
+
+Deferred paths use the same "f:" lazy f-string convention so RWR iterations
+chain ("f:models/{iteration+1}").
+"""
+
+from ddpo_tpu.config import user
+
+base = {
+    # data collection for RWR (pipelines/sample.py)
+    "sample": {
+        "loadpath": "f:models/{iteration}",
+        "savepath": "f:samples/{iteration}",
+        "load_epoch": "latest",
+        "n_samples_per_device": 4,
+        "pretrained_model": "duongna/stable-diffusion-v1-4-flax",
+        "prompt_kwargs": {},
+        "n_inference_steps": 50,
+        "eta": 1.0,
+        "resolution": 512,
+        "max_samples": 50e3,
+        "max_steps": None,
+        "local_size": 1600,
+        "guidance_scale": 5.0,
+        "filter_field": "labels",
+        "mask_mode": "streaming_percentile",
+        "mask_param": 95,
+        "identical_batch": False,
+        "iteration": 0,
+        "evaluate": False,
+        "cache": "cache",
+        "seed": None,
+        "dtype": "bfloat16",  # TPU-native default (reference used float32)
+    },
+    # sizes manifest builder (pipelines/save_sizes.py)
+    "sizes": {
+        "loadpath": "f:samples/{iteration}",
+        "iteration": 0,
+    },
+    # RWR supervised finetuning (pipelines/finetune.py)
+    "train": {
+        "modelpath": "f:models/{iteration}",
+        "loadpath": "f:samples/{iteration}",
+        "savepath": "f:models/{iteration+1}",
+        "pretrained_model": "duongna/stable-diffusion-v1-4-flax",
+        "finetuned_model": None,
+        "load_epoch": "latest",
+        "max_train_samples": None,
+        "resolution": 512,
+        "train_cfg": False,
+        "guidance_scale": 5.0,
+        "train_batch_size": 2,
+        "num_train_epochs": 40,
+        "max_train_steps": None,
+        "learning_rate": 1e-5,
+        "beta1": 0.9,
+        "beta2": 0.999,
+        "weight_decay": 1e-4,
+        "epsilon": 1e-8,
+        "max_grad_norm": 1.0,
+        "iteration": 0,
+        "weighted_batch": False,
+        "weighted_dataset": False,
+        "temperature": 1.0,
+        "per_prompt_weights": False,
+        "dtype": "float32",
+        "cache": "cache",
+        "verbose": False,
+        "save_freq": 100,
+        "seed": 0,
+        "num_workers": 2,  # prefetch threads in the data loader
+    },
+    # DDPO policy-gradient training (pipelines/policy_gradient.py)
+    "pg": {
+        "loadpath": "",
+        "load_epoch": "latest",
+        "modelpath": "models/pg",
+        "savepath": "f:models/pg",
+        "pretrained_model": "duongna/stable-diffusion-v1-4-flax",
+        "resolution": 512,
+        "filter_field": None,
+        "guidance_scale": 5.0,
+        "dtype": "float32",
+        "cache": "cache",
+        "verbose": False,
+        "seed": 0,
+        "iteration": 0,
+        # sampling phase
+        "sample_batch_size": 8,  # per device
+        "num_sample_batches_per_epoch": 1,
+        "n_inference_steps": 50,
+        "identical_batch": False,
+        "evaluate": False,
+        "eta": 1.0,
+        # training phase
+        "train_batch_size": 2,  # per device
+        "train_accumulation_steps": 1,
+        "num_train_epochs": 200,
+        "num_inner_epochs": 1,
+        "ppo_clip_range": 1e-4,
+        "train_cfg": True,
+        "learning_rate": 1e-5,
+        "beta1": 0.9,
+        "beta2": 0.999,
+        "weight_decay": 1e-4,
+        "epsilon": 1e-8,
+        "max_grad_norm": 1.0,
+        "save_freq": 10,
+        "optimizer": "adamw",
+        "train_timestep_ratio": 1.0,
+        "prompt_kwargs": {},
+        "per_prompt_stats_bufsize": 32,
+        "per_prompt_stats_min_count": 16,
+        # TPU-native extensions (not in the reference)
+        "fused_train_loop": False,  # scan over timesteps in one dispatch
+        "mesh_tp": 1,  # tensor-parallel axis size
+        "sample_dtype": "bfloat16",  # activation dtype for the sampler
+        "profile_dir": None,  # jax.profiler trace output
+        "resume": False,  # restore full train state from savepath
+    },
+}
+
+
+def _dataset(logdir, prompt_fn, filter_field, prompt_kwargs=None,
+             sample=None, train=None, pg=None):
+    cfg = {
+        "common": {
+            "logbase": f"{user.bucket}/logs/{logdir}",
+            "prompt_fn": prompt_fn,
+            "filter_field": filter_field,
+        },
+        "sample": sample or {},
+        "train": train or {},
+        "pg": pg or {},
+    }
+    if prompt_kwargs is not None:
+        cfg["common"]["prompt_kwargs"] = prompt_kwargs
+    return cfg
+
+
+_FILTER_SAMPLE = {  # top-decile filtering for sparse RWR
+    "max_samples": 1024,
+    "mask_mode": "percentile",
+    "mask_param": 90,
+    "identical_batch": True,
+}
+_KEEPALL_SAMPLE = {  # keep everything; weights come from softmax at train time
+    "max_samples": 10240,
+    "mask_mode": "streaming_percentile",
+    "mask_param": 0,
+    "identical_batch": False,
+}
+
+
+compressed_animals = _dataset(
+    "identical-compressed-animals-s1024-p90", "imagenet_animals", "jpeg",
+    sample=dict(_FILTER_SAMPLE),
+    train={"train_cfg": True, "train_batch_size": 4, "num_train_epochs": 50,
+           "save_freq": 20, "dtype": "float32"},
+)
+
+neg_compressed_animals = _dataset(
+    "identical-neg-compressed-animals-s1024-p90", "imagenet_animals", "neg_jpeg",
+    sample=dict(_FILTER_SAMPLE),
+    train={"train_cfg": True, "train_batch_size": 1, "num_train_epochs": 50,
+           "save_freq": 20, "dtype": "float32"},
+)
+
+compressed_animals_rwr = _dataset(
+    "rwr-compressed-animals-s10k", "imagenet_animals", "jpeg",
+    sample=dict(_KEEPALL_SAMPLE),
+    train={"train_cfg": True, "train_batch_size": 1, "num_train_epochs": 5,
+           "save_freq": 20, "dtype": "float32", "weighted_dataset": True,
+           "temperature": 1 / 5.0},
+)
+
+neg_compressed_animals_rwr = _dataset(
+    "rwr-neg-compressed-animals-s10k", "imagenet_animals", "neg_jpeg",
+    sample=dict(_KEEPALL_SAMPLE),
+    train={"train_cfg": True, "train_batch_size": 1, "num_train_epochs": 5,
+           "save_freq": 20, "dtype": "float32", "weighted_dataset": True,
+           "temperature": 1 / 5.0},
+)
+
+vqa_v0 = _dataset(
+    "vqa-v0-n2k-s5.0-e50", "vqa_dataset", "vqa",
+    prompt_kwargs={"loadpath": "assets/vqa_v0.txt"},
+    sample={"max_samples": 2e3, "mask_mode": "threshold", "mask_param": 0.65,
+            "identical_batch": False},
+    train={"train_cfg": True, "train_batch_size": 1, "num_train_epochs": 50,
+           "save_freq": 20},
+)
+
+llava_vqa = _dataset(
+    "llava-vqa-v2", "vqa_dataset", "llava_vqa",
+    prompt_kwargs={"loadpath": "assets/vqa_v2.txt"},
+    pg={"per_prompt_stats_bufsize": 128, "per_prompt_stats_min_count": 32,
+        "num_train_epochs": 120},
+)
+
+llava_counting = _dataset(
+    "llava-counting-v0-8", "counting", "llava_vqa",
+    prompt_kwargs={"nouns_path": "assets/very_simple_animals.txt",
+                   "number_range": (2, 8)},
+)
+
+llava_bertscore = _dataset(
+    "llava-bertscore-2-simple-animals", "nouns_activities", "llava_bertscore",
+    prompt_kwargs={"nouns_path": "assets/common_animals.txt",
+                   "activities_path": "assets/activities_v0.txt"},
+)
+
+a_dog_1 = _dataset(
+    "aesthetic_dogs_sweep/one", "manual", "aesthetic",
+    prompt_kwargs={"prompts": ["a dog"]},
+    pg={"per_prompt_stats_bufsize": None, "per_prompt_stats_min_count": None,
+        "train_batch_size": 1, "train_accumulation_steps": 2},
+)
+
+a_dog_2 = _dataset(
+    "aesthetic_dogs_sweep/imagenet", "imagenet_dogs", "aesthetic",
+    prompt_kwargs={},
+    pg={"train_batch_size": 1, "train_accumulation_steps": 2},
+)
+
+a_animals = _dataset(
+    "aesthetic_simple_animals", "from_file", "aesthetic",
+    prompt_kwargs={"loadpath": "assets/common_animals.txt"},
+    sample=dict(_FILTER_SAMPLE),
+    train={"train_cfg": True, "train_batch_size": 1, "num_train_epochs": 50,
+           "save_freq": 20, "dtype": "float32"},
+    pg={"train_batch_size": 1, "train_accumulation_steps": 2},
+)
+
+a_animals_rwr = _dataset(
+    "aesthetic_simple_animals_rwr_ppb", "from_file", "aesthetic",
+    prompt_kwargs={"loadpath": "assets/common_animals.txt"},
+    sample=dict(_KEEPALL_SAMPLE),
+    train={"train_cfg": True, "train_batch_size": 4, "num_train_epochs": 5,
+           "save_freq": 10000000, "dtype": "float32", "weighted_dataset": True,
+           "temperature": 1 / 5.0, "per_prompt_weights": True},
+)
+
+compressed_animals_nocfg = _dataset(
+    "nocfg-compressed-animals-s1024-p90", "imagenet_animals", "jpeg",
+    sample=dict(_FILTER_SAMPLE),
+    train={"train_cfg": False, "train_batch_size": 2, "num_train_epochs": 50,
+           "save_freq": 20, "dtype": "float32"},
+)
+
+neg_compressed_animals_nocfg = _dataset(
+    "nocfg-neg-compressed-animals-s1024-p90", "imagenet_animals", "neg_jpeg",
+    sample=dict(_FILTER_SAMPLE),
+    train={"train_cfg": False, "train_batch_size": 2, "num_train_epochs": 50,
+           "save_freq": 20, "dtype": "float32"},
+)
+
+# CPU/debug fixture: tiny everything, deterministic prompt, index reward.
+debug_animals = _dataset(
+    "debug-animals", "animal_debug", "arange",
+    sample={"max_samples": 8, "mask_mode": "threshold", "mask_param": -1,
+            "n_samples_per_device": 2, "n_inference_steps": 4,
+            "resolution": 64, "local_size": 8},
+    train={"train_batch_size": 1, "num_train_epochs": 1, "resolution": 64},
+    pg={"sample_batch_size": 2, "train_batch_size": 1, "n_inference_steps": 4,
+        "resolution": 64, "num_train_epochs": 2,
+        "per_prompt_stats_bufsize": None, "per_prompt_stats_min_count": None},
+)

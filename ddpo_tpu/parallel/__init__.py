@@ -1,0 +1,18 @@
+from ddpo_tpu.parallel.mesh import (
+    MeshConfig,
+    create_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+from ddpo_tpu.parallel.sharding import unet_partition_rules, shard_params
+
+__all__ = [
+    "MeshConfig",
+    "create_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "unet_partition_rules",
+    "shard_params",
+]

@@ -1,0 +1,78 @@
+"""Cross-device/cross-host reductions and consistency checks.
+
+TPU-native equivalents of the reference's pmap-based helpers:
+  - worker_sum: utils/array.py:22-29 (pmapped psum of a host scalar)
+  - distributed softmax: utils/array.py:44-55 (pmax/psum softmax)
+  - sync assertion: multihost_utils.assert_equal at
+    pipeline/policy_gradient.py:442
+
+Here they are jit/NamedSharding-based and also work on a virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ddpo_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def worker_sum(mesh: Mesh, value: float) -> float:
+    """Global sum of one scalar per process (reference: worker_sum).
+
+    Single-process fallback just returns the value; multi-process uses a
+    psum over one device per process via multihost allgather.
+    """
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(value))
+    return float(np.sum(gathered))
+
+
+def softmax_ref(x: np.ndarray, temperature: float = 1.0) -> np.ndarray:
+    """Sequential oracle (reference: utils/array.py:32-41)."""
+    assert x.ndim == 1
+    x = x * temperature
+    z = x - x.max()
+    numer = np.exp(z)
+    return numer / numer.sum()
+
+
+def sharded_softmax(mesh: Mesh, x: jnp.ndarray, temperature: float = 1.0):
+    """Softmax over a dp-sharded vector; max/sum reduce over the mesh.
+
+    Replaces the pmapped pmax/psum softmax. Under jit with a sharded input,
+    jnp.max/jnp.sum lower to XLA all-reduces across dp automatically.
+    """
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(batch_sharding(mesh),),
+        out_shardings=batch_sharding(mesh),
+    )
+    def _softmax(x):
+        z = x * temperature
+        z = z - jnp.max(z)
+        numer = jnp.exp(z)
+        return numer / jnp.sum(numer)
+
+    return _softmax(x)
+
+
+def all_processes_equal(tree, name: str = "tree") -> None:
+    """Divergence check across hosts (reference: assert_equal on train infos)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.assert_equal(tree, name)
+
+
+def n_params(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

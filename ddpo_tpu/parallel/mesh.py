@@ -1,0 +1,77 @@
+"""Device mesh and sharding helpers: jit + NamedSharding instead of pmap.
+
+The reference parallelizes exclusively with jax.pmap + flax replicate +
+reshape-based shard/unshard (SURVEY.md 2.12, utils/preprocessing.py:35-53).
+Here a single jax.sharding.Mesh spans the pod:
+
+  axes ('dp', 'tp'):
+    dp — data parallelism over ICI (and DCN for multi-slice: put the slower
+         network on the outermost dimension of the device array).
+    tp — tensor parallelism for the UNet (attention heads / conv channels),
+         via GSPMD sharding constraints (see parallel/sharding.py).
+
+Gradients all-reduce automatically: with batch inputs sharded over 'dp' and
+parameters replicated (or tp-sharded), XLA inserts the psum on the backward
+pass — the explicit jax.lax.pmean("batch") of the reference
+(training/policy_gradient.py:141-142) disappears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1: all remaining devices
+    tp: int = 1
+
+
+def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    """Build the ('dp', 'tp') mesh over the given (default: all) devices.
+
+    For multi-host runs devices are ordered so that the dp axis crosses hosts
+    (DCN) on its outer dimension while tp stays within a host's ICI domain.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    tp = config.tp
+    dp = config.dp if config.dp != -1 else n // tp
+    if dp * tp != n:
+        raise ValueError(f"mesh {dp}x{tp} != {n} devices")
+    return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data-parallel sharding for batched tensors."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree onto the mesh, batch dim split over dp.
+
+    Replaces the reference's reshape-based shard() helper — data goes
+    straight to its device slice, no (n_devices, B/n, ...) reshaping.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def local_batch_size(mesh: Mesh, per_device: int) -> int:
+    """Per-process batch size for a given per-device size."""
+    return per_device * mesh.local_mesh.devices.size
+
+
+def global_batch_size(mesh: Mesh, per_device: int) -> int:
+    return per_device * mesh.devices.size

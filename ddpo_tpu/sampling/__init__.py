@@ -1,0 +1,3 @@
+from ddpo_tpu.sampling.sampler import SamplerConfig, sample_trajectories, vae_decode
+
+__all__ = ["SamplerConfig", "sample_trajectories", "vae_decode"]

@@ -1,0 +1,114 @@
+"""Trajectory-recording DDIM sampler: one fused lax.scan on device.
+
+Rebuilds the reference's patched Stable Diffusion pipeline
+(/root/reference/ddpo/diffusers_patch/pipeline_flax_stable_diffusion.py:
+163-270): classifier-free guidance via a concatenated 2B batch, a scan over
+denoising steps whose carry is (latents, rng), and per-step outputs
+(latents, next_latents, log_probs, ts) — the full on-policy trajectory the
+PPO trainer consumes.
+
+TPU-first differences:
+  - plain jit-able function over a mesh (callers shard the batch dim over
+    'dp' with NamedSharding) instead of pmap with per-device leading axes.
+  - trajectories stay device-resident; the driver only pulls images (for the
+    host-side reward models) off the device.
+  - UNet activations run in bfloat16; scheduler math stays float32.
+
+Returns a dict rather than a tuple so downstream rebatching can tree_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ddpo_tpu.core.scheduler import DDIMScheduler, DDIMState
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    num_inference_steps: int = 50
+    guidance_scale: float = 5.0
+    eta: float = 1.0
+    height: int = 512
+    width: int = 512
+    vae_scale_factor: int = 8
+    latent_channels: int = 4
+
+
+def sample_trajectories(
+    unet_apply: Callable,
+    unet_params: Any,
+    scheduler: DDIMScheduler,
+    scheduler_state: DDIMState,
+    prompt_embeds: jnp.ndarray,  # (B, 77, D)
+    uncond_embeds: jnp.ndarray,  # (B, 77, D)
+    key: jax.Array,
+    config: SamplerConfig = SamplerConfig(),
+    init_latents: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Run the full denoising chain, recording the policy trajectory.
+
+    unet_apply(params, latents_2B, timesteps_2B, context_2B) -> eps_2B.
+    """
+    cfg = config
+    batch = prompt_embeds.shape[0]
+    latent_h = cfg.height // cfg.vae_scale_factor
+    latent_w = cfg.width // cfg.vae_scale_factor
+
+    state = scheduler.set_timesteps(scheduler_state, cfg.num_inference_steps)
+    timesteps = state.timesteps  # (T,) descending
+
+    # CFG context built once: [uncond; cond] along batch
+    context = jnp.concatenate([uncond_embeds, prompt_embeds], axis=0)
+
+    if init_latents is None:
+        key, init_key = jax.random.split(key)
+        init_latents = jax.random.normal(
+            init_key,
+            (batch, cfg.latent_channels, latent_h, latent_w),
+            dtype=jnp.float32,
+        )
+    latents = init_latents * state.init_noise_sigma
+
+    def loop_body(carry, t):
+        old_latents, rng = carry
+        latents_input = jnp.concatenate([old_latents] * 2)
+        t_batch = jnp.broadcast_to(t, (latents_input.shape[0],))
+
+        noise_pred = unet_apply(unet_params, latents_input, t_batch, context)
+        eps_uncond, eps_text = jnp.split(noise_pred, 2, axis=0)
+        noise_pred = eps_uncond + cfg.guidance_scale * (eps_text - eps_uncond)
+
+        rng, step_key = jax.random.split(rng)
+        new_latents, log_prob = scheduler.step(
+            state, noise_pred, t, old_latents, key=step_key, eta=cfg.eta
+        )
+        return (new_latents, rng), (old_latents, new_latents, log_prob)
+
+    (final_latents, _), (lat, next_lat, log_probs) = jax.lax.scan(
+        loop_body, (latents, key), timesteps
+    )
+
+    # time-major -> batch-major
+    return {
+        "final_latents": final_latents,  # (B, 4, h, w)
+        "latents": jnp.moveaxis(lat, 0, 1),  # (B, T, 4, h, w)
+        "next_latents": jnp.moveaxis(next_lat, 0, 1),
+        "log_probs": jnp.moveaxis(log_probs, 0, 1),  # (B, T)
+        "ts": jnp.broadcast_to(timesteps, (batch, cfg.num_inference_steps)),
+    }
+
+
+def vae_decode(vae_model, vae_params, latents: jnp.ndarray, scaling_factor: float = 0.18215):
+    """Latents (B, 4, h, w) -> images (B, H, W, 3) in [0, 1].
+
+    Mirrors the reference's pmapped vae_decode
+    (pipeline/policy_gradient.py:174-182): unscale, decode, [0,1]-clip, NHWC.
+    """
+    latents = latents / scaling_factor
+    images = vae_model.apply({"params": vae_params}, latents, method=vae_model.decode)
+    return jnp.clip(images / 2 + 0.5, 0.0, 1.0).transpose(0, 2, 3, 1)

@@ -1,0 +1,82 @@
+"""RWR: weighted/filtered supervised finetuning on sampled data.
+
+Re-implements the reference's diffusion train step
+(/root/reference/ddpo/training/diffusion.py:6-102):
+
+  - batch["vae"] holds the stored VAE posterior moments (channel-last,
+    (B, h, w, 8)); sample the posterior, transpose to NCHW, scale 0.18215
+    (ref :19-23),
+  - draw a uniform random timestep per sample, add forward-process noise
+    (ref :26-44),
+  - text-encode inside the step (ref :47-51), optional CFG recombination at
+    train time (ref :62-79),
+  - epsilon-MSE loss, optionally weighted per sample (softmax RWR weights,
+    ref :83-91).
+
+No pmean: jit with the batch sharded over 'dp'. The weighted branch sums
+(weights are normalized to an expected batch sum of 1 by the caller, see
+pipeline/finetune.py:172-179 in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.training.train_state import TrainState
+
+from ddpo_tpu.core.scheduler import DDIMState, DDPMScheduler
+from ddpo_tpu.models.vae import DiagonalGaussian
+
+
+def train_step(
+    state: TrainState,
+    text_encoder_apply: Callable,
+    text_encoder_params: Any,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    scheduler_state: DDIMState,
+    scheduler: DDPMScheduler,
+    train_cfg: bool,
+    guidance_scale: float,
+    weights: Optional[jnp.ndarray] = None,
+    scaling_factor: float = 0.18215,
+) -> Tuple[TrainState, jnp.ndarray, jax.Array]:
+    """One supervised finetune step. Jit with scheduler/train_cfg static."""
+    sample_rng, noise_rng, timestep_rng, new_rng = jax.random.split(rng, 4)
+
+    def compute_loss(params):
+        # stored channel-last moments -> latents (NCHW), SD scaling
+        latents = DiagonalGaussian(batch["vae"], axis=-1).sample(sample_rng)
+        latents = jnp.transpose(latents, (0, 3, 1, 2)) * scaling_factor
+
+        noise = jax.random.normal(noise_rng, latents.shape)
+        bsz = latents.shape[0]
+        timesteps = jax.random.randint(
+            timestep_rng, (bsz,), 0, scheduler.num_train_timesteps
+        )
+        noisy = scheduler.add_noise(scheduler_state, latents, noise, timesteps)
+
+        context = text_encoder_apply(text_encoder_params, batch["input_ids"])
+        eps_text = state.apply_fn(params, noisy, timesteps, context)
+
+        if train_cfg:
+            uncond_context = text_encoder_apply(
+                text_encoder_params, batch["uncond_text"]
+            )
+            eps_uncond = state.apply_fn(params, noisy, timesteps, uncond_context)
+            noise_pred = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+        else:
+            noise_pred = eps_text
+
+        loss = ((noise - noise_pred) ** 2).mean(
+            axis=tuple(range(1, noise.ndim))
+        )
+        if weights is None:
+            return loss.mean()
+        return (loss * weights).sum()
+
+    loss, grads = jax.value_and_grad(compute_loss)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    return new_state, loss, new_rng

@@ -1,0 +1,57 @@
+"""Prompt-file loaders.
+
+Parses the structured VQA prompt format and plain prompt lists used by the
+prompt functions (reference: ddpo/utils/serialization.py:483-518; assets are
+the PROMPT:/SUB Q:/SUB A:/VERB Q:/... files under assets/).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+def resolve_asset(path: str) -> str:
+    """Resolve a path like 'assets/common_animals.txt' against the repo root."""
+    if os.path.exists(path):
+        return path
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    candidate = os.path.join(root, path)
+    if os.path.exists(candidate):
+        return candidate
+    return path
+
+
+@functools.cache
+def load_lines(loadpath: str):
+    """One prompt per line, unstructured."""
+    with open(resolve_asset(loadpath)) as f:
+        return [line.strip() for line in f.readlines()]
+
+
+@functools.cache
+def load_general_prompts(path: str):
+    """Structured VQA prompts -> [{prompt, questions, answers}, ...]."""
+    dataset = []
+    with open(resolve_asset(path)) as f:
+        while True:
+            line = f.readline()
+            if line == "":
+                break
+            if line == "\n":
+                continue
+            assert line.startswith("PROMPT: "), line
+            entry = {
+                "prompt": line[len("PROMPT: "):].strip(),
+                "questions": [],
+                "answers": [],
+            }
+            for key in ["SUB", "VERB", "OBJ"]:
+                line = f.readline()
+                assert line.startswith(f"{key} Q: "), line
+                entry["questions"].append(line[len(f"{key} Q: "):].strip())
+                line = f.readline()
+                assert line.startswith(f"{key} A: "), line
+                entry["answers"].append(line[len(f"{key} A: "):].strip())
+            dataset.append(entry)
+    return dataset

@@ -1,0 +1,32 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-device sharding paths (data-parallel mesh, collectives, dryrun of the
+multi-chip training step) are exercised on a virtual 8-device CPU mesh, the
+TPU-native equivalent of the reference's pod-only multi-host testing gap
+(reference has no tests at all; see SURVEY.md section 4).
+
+The environment may pre-register a TPU backend via sitecustomize before
+pytest starts, so setting JAX_PLATFORMS here is not enough: we update the
+already-imported jax config before any backend is instantiated. Set
+DDPO_TPU_TEST_BACKEND=native to run the suite on the real device instead.
+"""
+
+import os
+
+if os.environ.get("DDPO_TPU_TEST_BACKEND", "cpu") == "cpu":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

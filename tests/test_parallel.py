@@ -1,0 +1,152 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh.
+
+Validates the jit+NamedSharding replacements for the reference's pmap
+machinery: dp-sharded training matches single-device training bit-for-bit
+(up to fp reassociation), tp partition rules produce a runnable sharded
+forward, and the collectives match their numpy oracles.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ddpo_tpu.core import DDIMScheduler
+from ddpo_tpu.models import UNet2DCondition, UNetConfig
+from ddpo_tpu.parallel import (
+    MeshConfig,
+    create_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+from ddpo_tpu.parallel.collectives import sharded_softmax, softmax_ref
+from ddpo_tpu.parallel.sharding import param_specs, shard_params
+from ddpo_tpu.training.policy_gradient import AccumulatingTrainState, train_step
+
+TINY = UNetConfig(
+    sample_size=8,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    attention_heads=2,
+    cross_attention_dim=32,
+    down_block_has_attn=(True, False),
+)
+
+
+def test_mesh_shapes():
+    mesh = create_mesh(MeshConfig(dp=-1, tp=1))
+    assert mesh.devices.shape == (8, 1)
+    mesh = create_mesh(MeshConfig(dp=4, tp=2))
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        create_mesh(MeshConfig(dp=3, tp=2))
+
+
+def test_sharded_softmax_matches_oracle():
+    mesh = create_mesh(MeshConfig(dp=-1, tp=1))
+    x = np.random.default_rng(0).normal(size=(64,)).astype(np.float32)
+    out = sharded_softmax(mesh, shard_batch(mesh, jnp.asarray(x)), temperature=0.2)
+    np.testing.assert_allclose(
+        np.asarray(out), softmax_ref(x, temperature=0.2), rtol=1e-5, atol=1e-7
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = UNet2DCondition(TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
+        jnp.zeros((1, 7, 32)),
+    )["params"]
+
+    def unet_apply(p, latents, t, context):
+        return model.apply({"params": p}, latents, t, context)
+
+    scheduler = DDIMScheduler()
+    sched_state = scheduler.set_timesteps(scheduler.create_state(), 5)
+
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (8, 4, 8, 8)),
+        "next_latents": jax.random.normal(jax.random.PRNGKey(2), (8, 4, 8, 8)),
+        "ts": jnp.full((8,), 601),
+        "log_probs": jax.random.normal(jax.random.PRNGKey(3), (8,)) * 0.01,
+        "advantages": jax.random.normal(jax.random.PRNGKey(4), (8,)),
+        "prompt_embeds": jax.random.normal(jax.random.PRNGKey(5), (8, 7, 32)),
+        "uncond_embeds": jnp.zeros((8, 7, 32)),
+    }
+    return model, params, unet_apply, scheduler, sched_state, batch
+
+
+def test_dp_training_matches_single_device(tiny_setup):
+    """The reference's explicit pmean all-reduce is implicit under GSPMD:
+    a dp=8-sharded step must produce the same update as unsharded."""
+    model, params, unet_apply, scheduler, sched_state, batch = tiny_setup
+    optimizer = optax.adamw(1e-4)
+
+    def make_state():
+        return AccumulatingTrainState.create(
+            apply_fn=unet_apply, params=params, tx=optimizer
+        )
+
+    step_kwargs = dict(
+        scheduler=scheduler, train_cfg=True, guidance_scale=5.0,
+        eta=1.0, clip_range=1e-1, do_opt_update=True,
+    )
+
+    # single device
+    state0, info0 = train_step(make_state(), batch, sched_state, **step_kwargs)
+
+    # dp=8 mesh
+    mesh = create_mesh(MeshConfig(dp=-1, tp=1))
+    sharded = shard_batch(mesh, batch)
+    state_in = jax.device_put(make_state(), replicated(mesh))
+    sched_in = jax.device_put(sched_state, replicated(mesh))
+    step = jax.jit(functools.partial(train_step, **step_kwargs))
+    state1, info1 = step(state_in, sharded, sched_in)
+
+    np.testing.assert_allclose(
+        float(info0["loss"]), float(info1["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(info0["approx_kl"]), float(info1["approx_kl"]), rtol=1e-4, atol=1e-10
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state0.params),
+        jax.tree_util.tree_leaves(state1.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_tp_sharded_forward_matches_replicated(tiny_setup):
+    """tp=2 GSPMD-sharded UNet forward == replicated forward."""
+    model, params, unet_apply, *_ = tiny_setup
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 4, 8, 8))
+    t = jnp.full((4,), 601)
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (4, 7, 32))
+
+    ref = unet_apply(params, x, t, ctx)
+
+    mesh = create_mesh(MeshConfig(dp=4, tp=2))
+    specs = param_specs(params)
+    # sanity: the rules actually shard something
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s != P(), specs)
+    )
+    assert any(flat)
+
+    sharded_params = shard_params(mesh, params)
+    fwd = jax.jit(unet_apply)
+    out = fwd(
+        sharded_params,
+        jax.device_put(x, batch_sharding(mesh)),
+        jax.device_put(t, batch_sharding(mesh)),
+        jax.device_put(ctx, batch_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
