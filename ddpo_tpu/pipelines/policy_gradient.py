@@ -1,0 +1,451 @@
+"""DDPO driver: sample -> reward -> advantage -> PPO update, mesh-resident.
+
+Rebuilds /root/reference/pipeline/policy_gradient.py for the jit+mesh world:
+
+  - one ('dp','tp') Mesh replaces pmap+replicate; batches are placed with
+    NamedSharding, gradients all-reduce implicitly.
+  - the sampler is a single jitted lax.scan per batch (UNet in bfloat16 by
+    default — reference ran float32), trajectories come back as one
+    device_get at the end of the sampling phase.
+  - reward callbacks run in a 2-worker thread pool overlapped with the next
+    sampling batch (same double-buffering as the reference :208-285).
+  - optional fused training loop: one dispatch scans all trained timesteps
+    of a minibatch instead of one dispatch per (batch, timestep).
+  - full-state Orbax checkpoints (params+opt+RNG+epoch) enable true resume,
+    which the reference lacks (SURVEY.md 5.4); artifact layout (rewards/
+    prompts/callback_info .npy, samples/*.png, reward-curve png) matches.
+
+Run: python -m ddpo_tpu.pipelines.policy_gradient --dataset compressed-animals
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from concurrent import futures
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ddpo_tpu import training
+from ddpo_tpu.core.scheduler import DDIMScheduler
+from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
+from ddpo_tpu.parallel.collectives import all_processes_equal, n_params
+from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
+from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
+from ddpo_tpu.training.stat_tracking import PerPromptStatTracker
+from ddpo_tpu.utils import Timer, fs
+from ddpo_tpu.utils.checkpoints import restore_train_state, save_train_state
+from ddpo_tpu.utils.parser import Parser as BaseParser
+from ddpo_tpu.utils.serialization import load_unet
+from ddpo_tpu.models.tokenizer import make_uncond_ids
+
+
+class Parser(BaseParser):
+    config: str = "ddpo_tpu.config.base"
+    dataset: str = "compressed_animals"
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+def build_optimizer(args):
+    schedule = optax.constant_schedule(args.learning_rate)
+    optim = {
+        "adamw": lambda: optax.adamw(
+            learning_rate=schedule, b1=args.beta1, b2=args.beta2,
+            eps=args.epsilon, weight_decay=args.weight_decay,
+            mu_dtype=jnp.bfloat16,
+        ),
+        "adafactor": lambda: optax.adafactor(
+            learning_rate=schedule, weight_decay_rate=args.weight_decay
+        ),
+    }[args.optimizer]()
+    return optax.chain(optax.clip_by_global_norm(args.max_grad_norm), optim)
+
+
+def main(argv=None):
+    args = Parser().parse_args("pg", argv)
+    mesh = create_mesh(MeshConfig(tp=getattr(args, "mesh_tp", 1)))
+    n_devices = mesh.devices.size
+    dp = mesh.shape["dp"]
+
+    sample_bs = args.sample_batch_size * dp
+    train_bs = args.train_batch_size * dp
+    train_effective_bs = train_bs * args.train_accumulation_steps
+    total_samples_per_epoch = args.num_sample_batches_per_epoch * sample_bs
+    print(
+        f"[ pg ] mesh: dp={dp} tp={mesh.shape['tp']} ({n_devices} devices, "
+        f"{jax.process_count()} processes)"
+    )
+    print(
+        f"[ pg ] sample batch: {sample_bs} | train batch: {train_bs} | "
+        f"effective: {train_effective_bs} | samples/epoch: {total_samples_per_epoch}"
+    )
+    assert args.sample_batch_size >= args.train_batch_size
+    assert args.sample_batch_size % args.train_batch_size == 0
+    assert total_samples_per_epoch % train_effective_bs == 0
+
+    worker_id = jax.process_index()
+    localpath = "logs/" + args.savepath.replace("gs://", "")
+    os.makedirs(localpath, exist_ok=True)
+
+    # --------------------------------- models --------------------------------- #
+    sample_dtype = _dtype(getattr(args, "sample_dtype", "bfloat16"))
+    models, params = load_unet(
+        args.loadpath or None,
+        epoch=args.load_epoch,
+        pretrained_model=args.pretrained_model,
+        dtype=_dtype(args.dtype),
+        activation_dtype=sample_dtype,
+        cache=args.cache,
+        seed=args.seed,
+    )
+    print(f"[ pg ] unet params: {n_params(params['unet'])/1e6:.1f}M")
+
+    scheduler = models.scheduler
+    sched_state = scheduler.set_timesteps(
+        scheduler.create_state(), args.n_inference_steps
+    )
+
+    def unet_apply(p, latents, t, context):
+        return models.unet.apply({"params": p}, latents, t, context)
+
+    # ------------------------------- train state ------------------------------ #
+    optimizer = build_optimizer(args)
+    state = AccumulatingTrainState.create(
+        apply_fn=unet_apply, params=params["unet"], tx=optimizer
+    )
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        restored, step = restore_train_state(
+            args.savepath,
+            target={
+                "state": jax.tree_util.tree_map(np.asarray, jax.device_get(state)),
+                "epoch": 0,
+                "rng": np.zeros(2, np.uint32),
+            },
+        )
+        if restored is not None:
+            state = restored["state"]
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"[ pg ] resumed from checkpoint at epoch {restored['epoch']}")
+
+    state = jax.device_put(state, replicated(mesh))
+    sched_state = jax.device_put(sched_state, replicated(mesh))
+    vae_params = jax.device_put(params["vae"], replicated(mesh))
+    text_params = jax.device_put(params["text_encoder"], replicated(mesh))
+
+    # ------------------------------ jitted programs --------------------------- #
+    sampler_config = SamplerConfig(
+        num_inference_steps=args.n_inference_steps,
+        guidance_scale=args.guidance_scale,
+        eta=args.eta,
+        height=args.resolution,
+        width=args.resolution,
+    )
+    dp_sharding = batch_sharding(mesh)
+
+    sample_fn = jax.jit(
+        functools.partial(
+            sample_trajectories, unet_apply, scheduler=scheduler,
+            config=sampler_config,
+        ),
+    )
+    decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
+    text_encode = jax.jit(
+        lambda ids: models.text_encoder.apply({"params": text_params}, ids)
+    )
+
+    step_fn = (
+        training.policy_gradient.train_step_fused
+        if getattr(args, "fused_train_loop", False)
+        else training.policy_gradient.train_step
+    )
+    jit_train_step = jax.jit(
+        functools.partial(
+            step_fn,
+            scheduler=scheduler,
+            train_cfg=args.train_cfg,
+            guidance_scale=args.guidance_scale,
+            eta=args.eta,
+            clip_range=args.ppo_clip_range,
+        ),
+        static_argnames=("do_opt_update",),
+        donate_argnums=(0,),
+    )
+
+    # ------------------------------ prompts/rewards --------------------------- #
+    uncond_ids = make_uncond_ids(models.tokenizer, 1)
+    uncond_embed = np.asarray(text_encode(jnp.asarray(uncond_ids)))[0]
+    sample_uncond = np.broadcast_to(
+        uncond_embed, (sample_bs, *uncond_embed.shape)
+    )
+    train_uncond = jnp.asarray(sample_uncond[: train_bs])
+
+    callback_fns = {
+        args.filter_field: training.callback_fns[args.filter_field](
+            vae=models.vae, vae_params=vae_params, cache=args.cache
+        )
+    }
+    executor = futures.ThreadPoolExecutor(max_workers=2)
+
+    per_prompt_stats = None
+    if args.per_prompt_stats_bufsize is not None:
+        per_prompt_stats = PerPromptStatTracker(
+            args.per_prompt_stats_bufsize, args.per_prompt_stats_min_count
+        )
+
+    rng = jax.random.PRNGKey(args.seed)
+    train_rng, sample_rng = jax.random.split(rng)
+
+    profile_dir = getattr(args, "profile_dir", None)
+
+    mean_rewards, std_rewards = [], []
+    timer = Timer()
+    for epoch in range(start_epoch, args.num_train_epochs):
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(profile_dir)
+
+        # ============================ sampling phase =========================== #
+        samples = []
+        for i in range(args.num_sample_batches_per_epoch):
+            sample_prompts, training_prompts, prompt_metadata = training.make_prompts(
+                args.prompt_fn, sample_bs, args.identical_batch,
+                evaluate=args.evaluate, **args.prompt_kwargs,
+            )
+
+            prompt_ids = models.tokenizer(sample_prompts)
+            prompt_embeds = text_encode(jnp.asarray(prompt_ids))
+
+            sample_rng, sample_seed = jax.random.split(sample_rng)
+            timer()
+            traj = sample_fn(
+                state.params,
+                scheduler_state=sched_state,
+                prompt_embeds=jax.device_put(prompt_embeds, dp_sharding),
+                uncond_embeds=shard_batch(mesh, jnp.asarray(sample_uncond)),
+                key=sample_seed,
+            )
+            images = decode_fn(vae_params, traj["final_latents"])
+            images = np.asarray(jax.device_get(images))
+            sample_time = timer()
+
+            callbacks = executor.submit(
+                training.evaluate_callbacks, callback_fns, images,
+                sample_prompts, prompt_metadata,
+            )
+            time.sleep(0)
+
+            samples.append(
+                {
+                    "prompts": np.array(sample_prompts),
+                    "embeds": np.asarray(prompt_embeds),
+                    "latents": np.asarray(jax.device_get(traj["latents"])),
+                    "next_latents": np.asarray(jax.device_get(traj["next_latents"])),
+                    "log_probs": np.asarray(jax.device_get(traj["log_probs"])),
+                    "ts": np.asarray(jax.device_get(traj["ts"])),
+                    "callbacks": callbacks,
+                }
+            )
+            print(
+                f"[ pg ] epoch {epoch} sample batch {i}: {sample_bs} samples "
+                f"in {sample_time:.2f}s ({sample_bs / sample_time:.3f}/s)"
+            )
+            from ddpo_tpu.utils.images import save_image
+
+            save_image(
+                fs.join_and_create(localpath, f"samples/{worker_id}_{epoch}_{i}.png"),
+                images[0],
+            )
+
+        # collect rewards
+        for sample in samples:
+            sample["rewards"], sample["callback_info"] = sample["callbacks"].result()[
+                args.filter_field
+            ]
+            del sample["callbacks"]
+        samples = {
+            k: np.concatenate([s[k] for s in samples]) for k in samples[0]
+        }
+        samples["rewards"] = np.asarray(samples["rewards"], dtype=np.float64).reshape(
+            len(samples["prompts"]), -1
+        )[:, 0]
+
+        # cross-host gather so every process computes identical advantages
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            rewards = np.asarray(
+                multihost_utils.process_allgather(samples["rewards"], tiled=True)
+            )
+            all_prompts = multihost_utils.process_allgather(
+                np.array([p.encode() for p in samples["prompts"].tolist()]),
+                tiled=True,
+            )
+            all_prompts = np.array([p.decode() for p in all_prompts.tolist()])
+        else:
+            rewards = samples["rewards"]
+            all_prompts = samples["prompts"]
+
+        if per_prompt_stats is not None:
+            advantages = per_prompt_stats.update(all_prompts, rewards)
+            if worker_id == 0:
+                np.save(
+                    fs.join_and_create(
+                        localpath, f"per_prompt_stats/{worker_id}_{epoch}.npy"
+                    ),
+                    per_prompt_stats.get_stats(),
+                )
+        else:
+            advantages = (rewards - rewards.mean()) / (rewards.std() + 1e-8)
+
+        samples["advantages"] = advantages.reshape(jax.process_count(), -1)[worker_id]
+        mean_rewards.append(float(rewards.mean()))
+        std_rewards.append(float(rewards.std()))
+        print(f"[ pg ] epoch {epoch} mean reward: {rewards.mean():.4f}")
+
+        for name in ("rewards", "prompts", "callback_info"):
+            np.save(
+                fs.join_and_create(localpath, f"{name}/{worker_id}_{epoch}.npy"),
+                samples[name],
+            )
+            if name != "rewards":
+                del samples[name]
+
+        # ============================ training phase =========================== #
+        for inner_epoch in range(args.num_inner_epochs):
+            total_bs, num_timesteps = samples["log_probs"].shape
+            assert num_timesteps == args.n_inference_steps
+
+            perm = np.random.permutation(total_bs)
+            keys = ["embeds", "latents", "next_latents", "log_probs", "ts", "advantages"]
+            shuffled = {k: samples[k][perm] for k in keys}
+
+            # independent per-sample timestep permutation (reference :389-393)
+            perms = np.stack(
+                [np.random.permutation(num_timesteps) for _ in range(total_bs)]
+            )
+            row = np.arange(total_bs)[:, None]
+            for key in ("latents", "next_latents", "log_probs", "ts"):
+                shuffled[key] = shuffled[key][row, perms]
+
+            # rebatch to (n_batches, train_bs, ...)
+            n_batches = total_bs // train_bs
+            batched = {
+                k: v.reshape(n_batches, train_bs, *v.shape[1:])
+                for k, v in shuffled.items()
+            }
+
+            num_train_ts = int(num_timesteps * args.train_timestep_ratio)
+            infos = []
+            timer()
+            for i in range(n_batches):
+                base = {
+                    "prompt_embeds": batched["embeds"][i],
+                    "uncond_embeds": np.asarray(train_uncond),
+                    "advantages": batched["advantages"][i],
+                }
+                do_opt_update = (i + 1) % args.train_accumulation_steps == 0
+                if getattr(args, "fused_train_loop", False):
+                    batch = dict(
+                        base,
+                        latents=batched["latents"][i][:, :num_train_ts].swapaxes(0, 1),
+                        next_latents=batched["next_latents"][i][:, :num_train_ts].swapaxes(0, 1),
+                        log_probs=batched["log_probs"][i][:, :num_train_ts].swapaxes(0, 1),
+                        ts=batched["ts"][i][:, :num_train_ts].swapaxes(0, 1),
+                    )
+                    sharded = {
+                        k: (
+                            shard_batch(mesh, v)
+                            if k in base
+                            else jax.device_put(
+                                v,
+                                jax.sharding.NamedSharding(
+                                    mesh, jax.sharding.PartitionSpec(None, "dp")
+                                ),
+                            )
+                        )
+                        for k, v in batch.items()
+                    }
+                    state, info = jit_train_step(
+                        state, sharded, sched_state, do_opt_update=do_opt_update
+                    )
+                    infos.append(jax.tree_util.tree_map(np.asarray, jax.device_get(info)))
+                else:
+                    for j in range(num_train_ts):
+                        batch = dict(
+                            base,
+                            latents=batched["latents"][i][:, j],
+                            next_latents=batched["next_latents"][i][:, j],
+                            log_probs=batched["log_probs"][i][:, j],
+                            ts=batched["ts"][i][:, j],
+                        )
+                        upd = do_opt_update and (j == num_train_ts - 1)
+                        state, info = jit_train_step(
+                            state, shard_batch(mesh, batch), sched_state,
+                            do_opt_update=upd,
+                        )
+                        infos.append(
+                            jax.tree_util.tree_map(np.asarray, jax.device_get(info))
+                        )
+            train_time = timer()
+            all_processes_equal(infos[-1], "train infos")
+            infos = {k: np.stack([i[k] for i in infos]) for k in infos[0]}
+            print(
+                f"[ pg ] epoch {epoch}.{inner_epoch}: "
+                f"loss {infos['loss'].mean():.5f} | kl {infos['approx_kl'].mean():.2e} "
+                f"| clipfrac {infos['clipfrac'].mean():.3f} | {train_time:.2f}s"
+            )
+            if worker_id == 0:
+                np.save(
+                    fs.join_and_create(
+                        localpath, f"train_info/{worker_id}_{epoch}_{inner_epoch}.npy"
+                    ),
+                    infos,
+                )
+
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+
+        # ============================ checkpointing ============================ #
+        if (epoch + 1) % args.save_freq == 0 or epoch == args.num_train_epochs - 1:
+            save_train_state(
+                args.savepath if not fs.is_remote(args.savepath) else localpath,
+                epoch,
+                {
+                    "state": jax.device_get(state),
+                    "epoch": epoch,
+                    "rng": jax.device_get(train_rng),
+                },
+            )
+
+        if worker_id == 0:
+            _plot_rewards(mean_rewards, std_rewards, localpath, worker_id)
+            with open(os.path.join(localpath, "reward_curve.json"), "w") as f:
+                json.dump({"mean": mean_rewards, "std": std_rewards}, f)
+
+    return mean_rewards
+
+
+def _plot_rewards(mean_rewards, std_rewards, localpath, worker_id):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.clf()
+    mean, std = np.array(mean_rewards), np.array(std_rewards)
+    plt.plot(mean, color="black")
+    plt.fill_between(range(len(mean)), mean - std, mean + std, alpha=0.4, color="blue")
+    plt.savefig(os.path.join(localpath, f"log_{worker_id}.png"))
+    plt.close()
+
+
+if __name__ == "__main__":
+    main()

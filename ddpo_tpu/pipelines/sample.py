@@ -1,0 +1,166 @@
+"""RWR data collection: sample, reward, filter, write sharded HDF5.
+
+Rebuilds /root/reference/pipeline/sample.py on the mesh runtime: jitted
+scan sampler + vae decode, reward callbacks (filter_field + "vae" posterior
+moments for the finetune loss), masker-based filtering, RemoteWriter split
+files, and the cross-host sample counter.
+
+Run: python -m ddpo_tpu.pipelines.sample --dataset compressed-animals-rwr
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddpo_tpu import training
+from ddpo_tpu.data.hdf5 import RemoteWriter, encode_generic, decode_generic
+from ddpo_tpu.models.tokenizer import make_uncond_ids
+from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
+from ddpo_tpu.parallel.collectives import worker_sum
+from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
+from ddpo_tpu.utils import StreamingAverage, Timer, make_masker
+from ddpo_tpu.utils.images import decode_jpeg, encode_jpeg
+from ddpo_tpu.utils.parser import Parser as BaseParser
+from ddpo_tpu.utils.serialization import load_unet
+
+
+class Parser(BaseParser):
+    config: str = "ddpo_tpu.config.base"
+    dataset: str = "compressed_animals_rwr"
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def main(argv=None):
+    args = Parser().parse_args("sample", argv)
+    mesh = create_mesh(MeshConfig(tp=1))
+    dp = mesh.shape["dp"]
+    batch_size = args.n_samples_per_device * dp
+    print(f"[ sample ] mesh dp={dp} | batch {batch_size}")
+
+    loadpath = None if args.iteration == 0 else args.loadpath
+    models, params = load_unet(
+        loadpath,
+        epoch=args.load_epoch,
+        pretrained_model=args.pretrained_model,
+        activation_dtype=_dtype(getattr(args, "dtype", "bfloat16")),
+        cache=args.cache,
+        seed=args.seed,
+    )
+    scheduler = models.scheduler
+    sched_state = jax.device_put(scheduler.create_state(), replicated(mesh))
+    unet_params = jax.device_put(params["unet"], replicated(mesh))
+    vae_params = jax.device_put(params["vae"], replicated(mesh))
+    text_params = jax.device_put(params["text_encoder"], replicated(mesh))
+
+    def unet_apply(p, latents, t, context):
+        return models.unet.apply({"params": p}, latents, t, context)
+
+    sampler_config = SamplerConfig(
+        num_inference_steps=args.n_inference_steps,
+        guidance_scale=args.guidance_scale
+        if args.guidance_scale != "auto"
+        else 5.0,
+        eta=args.eta,
+        height=args.resolution,
+        width=args.resolution,
+    )
+    sample_fn = jax.jit(
+        functools.partial(
+            sample_trajectories, unet_apply, scheduler=scheduler,
+            config=sampler_config,
+        )
+    )
+    decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
+    text_encode = jax.jit(
+        lambda ids: models.text_encoder.apply({"params": text_params}, ids)
+    )
+
+    # reward callbacks: the filter field + the VAE posterior for training
+    callback_keys = [args.filter_field, "vae"]
+    callback_fns = {
+        key: training.callback_fns[key](
+            vae=models.vae, vae_params=vae_params, cache=args.cache
+        )
+        for key in callback_keys
+    }
+
+    writer = RemoteWriter(args.savepath, split_size=args.local_size)
+    writer.configure("images", encode_fn=encode_jpeg, decode_fn=decode_jpeg)
+    writer.configure("inference_prompts")
+    writer.configure(
+        "training_prompts", encode_fn=encode_generic, decode_fn=decode_generic
+    )
+    for key in callback_fns:
+        writer.configure(key)
+
+    uncond_ids = make_uncond_ids(models.tokenizer, batch_size)
+    uncond_embeds = np.asarray(text_encode(jnp.asarray(uncond_ids)))
+
+    masker = make_masker(args.mask_mode, args.mask_param)
+    avg = StreamingAverage()
+    timer = Timer()
+    rng = jax.random.PRNGKey(args.seed or 0)
+
+    n_steps, n_samples = 0, 0
+    while True:
+        rng, seed = jax.random.split(rng)
+        inference_prompts, training_prompts, prompt_metadata = training.make_prompts(
+            args.prompt_fn, batch_size, args.identical_batch,
+            evaluate=args.evaluate, **args.prompt_kwargs,
+        )
+
+        prompt_ids = models.tokenizer(inference_prompts)
+        prompt_embeds = text_encode(jnp.asarray(prompt_ids))
+
+        traj = sample_fn(
+            unet_params,
+            scheduler_state=sched_state,
+            prompt_embeds=jax.device_put(prompt_embeds, batch_sharding(mesh)),
+            uncond_embeds=shard_batch(mesh, jnp.asarray(uncond_embeds)),
+            key=seed,
+        )
+        images = np.asarray(
+            jax.device_get(decode_fn(vae_params, traj["final_latents"]))
+        ).astype(np.float32)
+        print(f"[ sample ] {len(images)} samples in {timer():.2f}s")
+
+        infos = training.evaluate_callbacks(
+            callback_fns, images, training_prompts, prompt_metadata
+        )
+        rewards, _ = infos[args.filter_field]
+        rewards = np.asarray(rewards)
+        avg(float(rewards.mean()))
+        mask = masker(rewards)
+
+        batch = {
+            "inference_prompts": list(inference_prompts),
+            "training_prompts": list(training_prompts),
+            "images": images,
+            **{key: np.asarray(rew) for key, (rew, _) in infos.items()},
+        }
+        n_added = writer.add_batch(batch, mask=mask)
+        n_steps += 1
+        n_samples += worker_sum(mesh, n_added)
+        print(
+            f"[ sample ] batch {n_steps} | saved {n_added} | total "
+            f"{int(n_samples)}/{args.max_samples} | avg {avg.avg:.3f} | {masker}"
+        )
+
+        if args.max_steps is not None and n_steps >= args.max_steps:
+            break
+        if args.max_samples is not None and n_samples >= args.max_samples:
+            break
+
+    writer.close()
+    return int(n_samples)
+
+
+if __name__ == "__main__":
+    main()

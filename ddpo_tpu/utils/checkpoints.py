@@ -1,0 +1,99 @@
+"""Full-train-state checkpointing (Orbax) + reference-compatible pickles.
+
+The reference only saves UNet params (save_checkpoint_multiprocess of
+state.params, pipeline/policy_gradient.py:457-464; unet_{epoch}.pkl for RWR,
+utils/serialization.py:276-296) so a crashed run cannot truly resume. Here
+the PG trainer checkpoints the complete state — params, optimizer state,
+gradient-accumulation buffer, RNG key, epoch counter, per-prompt stat
+buffers — with Orbax (async-friendly, multi-host aware), and also exposes
+save_unet/load_unet_pickle for the RWR iteration chain's artifact format.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ddpo_tpu.utils import filesystem as fs
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(savepath: str, step: int, payload: Any) -> str:
+    """Write one full-state checkpoint under savepath/checkpoints/<step>."""
+    path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
+    payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def latest_checkpoint_step(savepath: str) -> Optional[int]:
+    root = os.path.join(savepath, "checkpoints")
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d) for d in os.listdir(root) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_train_state(savepath: str, step: Optional[int] = None, target: Any = None):
+    """Restore the newest (or given) checkpoint; returns None if absent."""
+    if step is None:
+        step = latest_checkpoint_step(savepath)
+        if step is None:
+            return None, None
+    path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
+    import orbax.checkpoint as ocp
+
+    if target is not None:
+        restored = _checkpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item=target)
+        )
+    else:
+        restored = _checkpointer().restore(path)
+    return restored, step
+
+
+# ---------------- reference-format UNet artifacts (RWR chain) ---------------- #
+
+
+def save_unet(savepath: str, unet_params: Any, epoch: int = 0,
+              all_workers: bool = False, cache: str = "logs"):
+    """Pickle UNet params as unet_{epoch}.pkl (reference format)."""
+    local_path = (
+        os.path.join(cache, savepath.replace("gs://", ""))
+        if fs.is_remote(savepath)
+        else savepath
+    )
+    os.makedirs(local_path, exist_ok=True)
+    fullpath = os.path.join(local_path, f"unet_{epoch}.pkl")
+
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(unet_params))
+    if jax.process_index() == 0 or all_workers:
+        with open(fullpath, "wb") as f:
+            pickle.dump(params, f)
+        if fs.is_remote(savepath):
+            with fs.open(os.path.join(savepath, f"unet_{epoch}.pkl"), mode="wb") as f:
+                pickle.dump(params, f)
+    return fullpath
+
+
+def get_latest_epoch(loadpath: str) -> int:
+    """Largest N among unet_N.pkl files under loadpath."""
+    fnames = [f for f in fs.ls(loadpath) if f.startswith("unet_") and f.endswith(".pkl")]
+    assert fnames, f"no unet_*.pkl under {loadpath}"
+    return max(int(f.split("_")[-1].split(".pkl")[0]) for f in fnames)
+
+
+def load_unet_pickle(loadpath: str, epoch="latest"):
+    if epoch == "latest":
+        epoch = get_latest_epoch(loadpath)
+    fullpath = os.path.join(loadpath, f"unet_{epoch}.pkl")
+    return fs.unpickle(fullpath)
