@@ -29,6 +29,12 @@ import time
 def _setup_jax():
     import jax
 
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/ddpo_tpu_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     return jax
 
 
@@ -43,18 +49,18 @@ def build_sampler(dtype_name: str, steps: int, res: int, batch: int):
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     model = UNet2DCondition(dtype=dtype)
 
-    shapes = jax.eval_shape(
-        model.init,
+    # proper random init on device (constant weights blow up activations)
+    init = jax.jit(model.init, static_argnames=())
+    params = init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 4, res // 8, res // 8)),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 77, 768)),
     )["params"]
-    # random-ish init without host-side RNG cost: zeros kernels are fine for
-    # throughput (same FLOPs/layout); avoid NaNs by keeping eps-scale params
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes
-    )
+    # store params in the compute dtype: batch-1 sampling is HBM-bandwidth
+    # bound on weight reads, so bf16 params halve the traffic (casting
+    # per-op inside the kernel would still read fp32 from HBM)
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
     def unet_apply(p, latents, t, context):
         return model.apply({"params": p}, latents, t, context)
@@ -83,8 +89,10 @@ def build_sampler(dtype_name: str, steps: int, res: int, batch: int):
             uncond_embeds=uncond_embeds,
             key=key,
         )
-        jax.block_until_ready(out["final_latents"])
-        return out
+        # device_get of a small output is the sync barrier: on the axon
+        # remote backend block_until_ready can return before execution
+        # completes, a device->host read cannot.
+        return jax.device_get(out["log_probs"])
 
     return run
 

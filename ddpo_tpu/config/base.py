@@ -39,7 +39,8 @@ base = {
         "evaluate": False,
         "cache": "cache",
         "seed": None,
-        "dtype": "bfloat16",  # TPU-native default (reference used float32)
+        "dtype": "bfloat16",
+        "model_preset": "sd14",  # TPU-native default (reference used float32)
     },
     # sizes manifest builder (pipelines/save_sizes.py)
     "sizes": {
@@ -77,6 +78,7 @@ base = {
         "verbose": False,
         "save_freq": 100,
         "seed": 0,
+        "model_preset": "sd14",
         "num_workers": 2,  # prefetch threads in the data loader
     },
     # DDPO policy-gradient training (pipelines/policy_gradient.py)
@@ -126,6 +128,7 @@ base = {
         "sample_dtype": "bfloat16",  # activation dtype for the sampler
         "profile_dir": None,  # jax.profiler trace output
         "resume": False,  # restore full train state from savepath
+        "model_preset": "sd14",  # "tiny" for CPU smoke tests
     },
 }
 
@@ -275,3 +278,6 @@ debug_animals = _dataset(
         "resolution": 64, "num_train_epochs": 2,
         "per_prompt_stats_bufsize": None, "per_prompt_stats_min_count": None},
 )
+debug_animals["common"]["model_preset"] = "tiny"
+debug_animals["common"]["dtype"] = "float32"
+debug_animals["common"]["sample_dtype"] = "float32"

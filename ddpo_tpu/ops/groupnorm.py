@@ -78,8 +78,10 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, silu)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-# feature maps larger than this stay on the XLA path (VMEM is ~16MB/core)
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# feature maps larger than this stay on the XLA path. The kernel holds ~4
+# fp32 copies of the block in VMEM (input, f32 cast, squares, output), and
+# scoped VMEM is 16MB/core, so cap the raw block at 3MB.
+_VMEM_BUDGET_BYTES = 3 * 1024 * 1024
 
 
 def group_norm_silu(
@@ -98,7 +100,12 @@ def group_norm_silu(
         s *= d
     if use_kernel is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        fits = s * c * 4 <= _VMEM_BUDGET_BYTES and c % 128 == 0 and s % 8 == 0
+        fits = (
+            s * c * 4 <= _VMEM_BUDGET_BYTES
+            and c % 128 == 0
+            and c % num_groups == 0
+            and s % 8 == 0
+        )
         use_kernel = on_tpu and fits
     if not use_kernel:
         return group_norm(x, scale, bias, num_groups, eps, silu=True)

@@ -52,6 +52,7 @@ def main(argv=None):
         dtype=_dtype(args.dtype),
         cache=args.cache,
         seed=args.seed,
+        model_preset=getattr(args, "model_preset", "sd14"),
     )
     print(f"[ finetune ] unet params: {n_params(params['unet'])/1e6:.1f}M")
 
@@ -100,11 +101,11 @@ def main(argv=None):
     jit_step = jax.jit(
         functools.partial(
             training.diffusion.train_step,
+            text_encoder_apply=text_apply,
             scheduler=scheduler,
             train_cfg=args.train_cfg,
             guidance_scale=args.guidance_scale,
         ),
-        static_argnames=(),
         donate_argnums=(0,),
     )
 
@@ -149,8 +150,12 @@ def main(argv=None):
             )
             rng, step_rng = jax.random.split(rng)
             state, loss, _ = jit_step(
-                state, text_apply, text_params, device_batch, step_rng,
-                sched_state, weights=weights,
+                state,
+                text_encoder_params=text_params,
+                batch=device_batch,
+                rng=step_rng,
+                scheduler_state=sched_state,
+                weights=weights,
             )
             losses.append(float(loss))
             progress(

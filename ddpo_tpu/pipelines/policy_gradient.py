@@ -105,6 +105,7 @@ def main(argv=None):
         activation_dtype=sample_dtype,
         cache=args.cache,
         seed=args.seed,
+        model_preset=getattr(args, "model_preset", "sd14"),
     )
     print(f"[ pg ] unet params: {n_params(params['unet'])/1e6:.1f}M")
 
@@ -142,12 +143,15 @@ def main(argv=None):
     text_params = jax.device_put(params["text_encoder"], replicated(mesh))
 
     # ------------------------------ jitted programs --------------------------- #
+    vae_scale = 2 ** (len(models.vae.config.block_out_channels) - 1)
     sampler_config = SamplerConfig(
         num_inference_steps=args.n_inference_steps,
         guidance_scale=args.guidance_scale,
         eta=args.eta,
         height=args.resolution,
         width=args.resolution,
+        vae_scale_factor=vae_scale,
+        latent_channels=models.vae.config.latent_channels,
     )
     dp_sharding = batch_sharding(mesh)
 
@@ -204,6 +208,12 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     train_rng, sample_rng = jax.random.split(rng)
 
+    cast_params = jax.jit(
+        lambda p: jax.tree_util.tree_map(
+            lambda x: x.astype(sample_dtype), p
+        )
+    )
+
     profile_dir = getattr(args, "profile_dir", None)
 
     mean_rewards, std_rewards = [], []
@@ -213,6 +223,10 @@ def main(argv=None):
             jax.profiler.start_trace(profile_dir)
 
         # ============================ sampling phase =========================== #
+        # sampling reads weights once per UNet call and is HBM-bandwidth
+        # bound: cast the fp32 master params to the sampling dtype on device
+        # (one cheap cast per epoch halves weight traffic for bf16)
+        sampling_params = cast_params(state.params)
         samples = []
         for i in range(args.num_sample_batches_per_epoch):
             sample_prompts, training_prompts, prompt_metadata = training.make_prompts(
@@ -226,7 +240,7 @@ def main(argv=None):
             sample_rng, sample_seed = jax.random.split(sample_rng)
             timer()
             traj = sample_fn(
-                state.params,
+                sampling_params,
                 scheduler_state=sched_state,
                 prompt_embeds=jax.device_put(prompt_embeds, dp_sharding),
                 uncond_embeds=shard_batch(mesh, jnp.asarray(sample_uncond)),
@@ -270,9 +284,9 @@ def main(argv=None):
                 args.filter_field
             ]
             del sample["callbacks"]
-        samples = {
-            k: np.concatenate([s[k] for s in samples]) for k in samples[0]
-        }
+        samples = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *samples
+        )
         samples["rewards"] = np.asarray(samples["rewards"], dtype=np.float64).reshape(
             len(samples["prompts"]), -1
         )[:, 0]

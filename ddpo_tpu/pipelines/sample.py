@@ -52,16 +52,23 @@ def main(argv=None):
         activation_dtype=_dtype(getattr(args, "dtype", "bfloat16")),
         cache=args.cache,
         seed=args.seed,
+        model_preset=getattr(args, "model_preset", "sd14"),
     )
     scheduler = models.scheduler
     sched_state = jax.device_put(scheduler.create_state(), replicated(mesh))
-    unet_params = jax.device_put(params["unet"], replicated(mesh))
+    # store sampler weights in the compute dtype: inference is HBM-bound
+    act_dtype = _dtype(getattr(args, "dtype", "bfloat16"))
+    unet_params = jax.device_put(
+        jax.tree_util.tree_map(lambda x: x.astype(act_dtype), params["unet"]),
+        replicated(mesh),
+    )
     vae_params = jax.device_put(params["vae"], replicated(mesh))
     text_params = jax.device_put(params["text_encoder"], replicated(mesh))
 
     def unet_apply(p, latents, t, context):
         return models.unet.apply({"params": p}, latents, t, context)
 
+    vae_scale = 2 ** (len(models.vae.config.block_out_channels) - 1)
     sampler_config = SamplerConfig(
         num_inference_steps=args.n_inference_steps,
         guidance_scale=args.guidance_scale
@@ -70,6 +77,8 @@ def main(argv=None):
         eta=args.eta,
         height=args.resolution,
         width=args.resolution,
+        vae_scale_factor=vae_scale,
+        latent_channels=models.vae.config.latent_channels,
     )
     sample_fn = jax.jit(
         functools.partial(

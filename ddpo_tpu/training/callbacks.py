@@ -54,12 +54,18 @@ def clip_preprocess(images: np.ndarray, size: int = 224) -> np.ndarray:
 
 
 def jpeg_fn(jit=False, **kwargs) -> RewardFn:
-    """Negative JPEG size in KB: reward for compressible images."""
+    """Negative JPEG size in KB: reward for compressible images.
+
+    Encodes the whole batch through the native multithreaded libjpeg path
+    (ddpo_tpu/native) — the per-image PIL loop of the reference is the
+    host-side bottleneck between sampling batches at production batch sizes.
+    """
+    from ddpo_tpu.native import jpeg_sizes
 
     def _fn(images, prompts, metadata):
         del prompts, metadata
-        sizes_kb = [len(encode_jpeg(image)) / 1000.0 for image in images]
-        return -np.array(sizes_kb)[:, None], {}
+        sizes_kb = jpeg_sizes(images, quality=95) / 1000.0
+        return -np.asarray(sizes_kb, dtype=np.float64)[:, None], {}
 
     return _fn
 

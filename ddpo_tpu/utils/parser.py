@@ -154,7 +154,7 @@ class Parser:
         for key in ("loadpath", "modelpath"):
             if hasattr(args, "logbase") and hasattr(args, key):
                 val = getattr(args, key)
-                if val is None or val.startswith("/") or val.startswith("gs://"):
+                if not val or val.startswith("/") or val.startswith("gs://"):
                     continue
                 args.set(key, os.path.join(args.logbase, val))
 

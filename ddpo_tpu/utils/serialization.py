@@ -60,19 +60,21 @@ def sd_scheduler(dtype=jnp.float32) -> DDIMScheduler:
 
 
 def _random_init_params(models: StableModels, seed: int = 0):
-    """Random-init parameters at the full SD-1.4 architecture."""
+    """Random-init parameters at the configured architecture."""
+    ctx_dim = models.unet.config.cross_attention_dim
+    ctx_len = models.text_encoder.config.max_position_embeddings
     k_unet, k_vae, k_text = jax.random.split(jax.random.PRNGKey(seed), 3)
     unet_params = models.unet.init(
         k_unet,
         jnp.zeros((1, 4, 8, 8)),
         jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 77, 768)),
+        jnp.zeros((1, ctx_len, ctx_dim)),
     )["params"]
     vae_params = models.vae.init(
         k_vae, jnp.zeros((1, 3, 32, 32)), jax.random.PRNGKey(0)
     )["params"]
     text_params = models.text_encoder.init(
-        k_text, jnp.zeros((1, 77), jnp.int32)
+        k_text, jnp.zeros((1, ctx_len), jnp.int32)
     )["params"]
     return {"unet": unet_params, "vae": vae_params, "text_encoder": text_params}
 
@@ -87,19 +89,47 @@ def get_dtype(tree):
     return dtypes.pop()
 
 
+def _tiny_stack(activation_dtype):
+    """Miniature stack for CPU smoke tests / CI (model_preset='tiny')."""
+    from ddpo_tpu.models import CLIPTextConfig, UNetConfig, VAEConfig
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=49408, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4,
+    )
+    unet_cfg = UNetConfig(
+        sample_size=8, block_out_channels=(32, 64), layers_per_block=1,
+        attention_heads=2, cross_attention_dim=32,
+        down_block_has_attn=(True, False),
+    )
+    vae_cfg = VAEConfig(block_out_channels=(16, 32), layers_per_block=1)
+    return (
+        CLIPTextModel(text_cfg, dtype=activation_dtype),
+        AutoencoderKL(vae_cfg, dtype=activation_dtype),
+        UNet2DCondition(unet_cfg, dtype=activation_dtype),
+    )
+
+
 def load_stable_diffusion(
     pretrained_model: Optional[str] = None,
     dtype=jnp.float32,
     activation_dtype=jnp.float32,
     cache: str = "cache",
     seed: int = 0,
+    model_preset: str = "sd14",
 ) -> Tuple[StableModels, dict]:
     """Build the SD-1.4 stack and its params (local checkpoint or random)."""
+    if model_preset == "tiny":
+        text_encoder, vae, unet = _tiny_stack(activation_dtype)
+    else:
+        text_encoder = CLIPTextModel(dtype=activation_dtype)
+        vae = AutoencoderKL(dtype=activation_dtype)
+        unet = UNet2DCondition(dtype=activation_dtype)
     models = StableModels(
         tokenizer=get_tokenizer(pretrained_model),
-        text_encoder=CLIPTextModel(dtype=activation_dtype),
-        vae=AutoencoderKL(dtype=activation_dtype),
-        unet=UNet2DCondition(dtype=activation_dtype),
+        text_encoder=text_encoder,
+        vae=vae,
+        unet=unet,
         scheduler=sd_scheduler(),
     )
 
@@ -131,6 +161,7 @@ def load_unet(
     activation_dtype=jnp.float32,
     cache: str = "cache",
     seed: int = 0,
+    model_preset: str = "sd14",
 ) -> Tuple[StableModels, dict]:
     """Stack + params, optionally overlaying a finetuned UNet.
 
@@ -141,7 +172,7 @@ def load_unet(
     """
     models, params = load_stable_diffusion(
         pretrained_model, dtype=dtype, activation_dtype=activation_dtype,
-        cache=cache, seed=seed,
+        cache=cache, seed=seed, model_preset=model_preset,
     )
     if loadpath:
         if loadpath.startswith("orbax:"):
