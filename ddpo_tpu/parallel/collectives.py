@@ -76,3 +76,11 @@ def all_processes_equal(tree, name: str = "tree") -> None:
 
 def n_params(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def sync_state_across_devices(mesh: Mesh, state):
+    """Broadcast one replica's pytree to all devices (reference
+    utils/array.py:8-15's psum-select). Under NamedSharding this is just a
+    replicated device_put of the host copy."""
+    host_state = jax.device_get(state)
+    return jax.device_put(host_state, replicated(mesh))

@@ -88,3 +88,42 @@ def save_images(images, *savepath, nrow: int = 8) -> None:
         axes[i].imshow(image)
     plt.savefig(path)
     plt.close(fig)
+
+
+def save_gif(img_list, path: str = "") -> None:
+    """Animated GIF from a list of [0,1]-float frames (reference :87-99)."""
+    from PIL import Image
+
+    frames = [Image.fromarray(_to_uint8(np.asarray(img))) for img in img_list]
+    frames[0].save(
+        fp=path, format="GIF", append_images=frames[1:], save_all=True,
+        duration=200, loop=0,
+    )
+
+
+def plot_calibration(savepath: str, y_dict: dict, ylabel=None, cache: str = "logs") -> None:
+    """Reward vs guidance-scale calibration plot (reference :402-428)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = sorted(y_dict.keys())
+    plt.plot(xs, [y_dict[x] for x in xs])
+    ax = plt.gca()
+    ax.grid(linestyle="-", linewidth="1", color="white")
+    ax.set_facecolor([0.9, 0.9, 0.9])
+    for spine in ax.spines.values():
+        spine.set_visible(False)
+    plt.ylabel(ylabel)
+    plt.xlabel("guidance scale")
+    if fs.is_remote(savepath):
+        localpath = os.path.join(cache, savepath.replace("gs://", ""))
+        fs.mkdir(localpath, fname=True)
+        plt.savefig(localpath)
+        with fs.open(savepath, mode="wb") as f:
+            plt.savefig(f)
+    else:
+        fs.mkdir(savepath, fname=True)
+        plt.savefig(savepath)
+    plt.close()

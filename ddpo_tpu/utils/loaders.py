@@ -55,3 +55,27 @@ def load_general_prompts(path: str):
                 entry["answers"].append(line[len(f"{key} A: "):].strip())
             dataset.append(entry)
     return dataset
+
+
+def load_vqa_data(path: str):
+    """Columnar variant of the VQA prompt format (reference :439-480)."""
+    entries = load_general_prompts(path)
+    return {
+        "prompts": [e["prompt"] for e in entries],
+        "sub_qs": [e["questions"][0] for e in entries],
+        "verb_qs": [e["questions"][1] for e in entries],
+        "obj_qs": [e["questions"][2] for e in entries],
+        "sub_ans": [e["answers"][0] for e in entries],
+        "verb_ans": [e["answers"][1] for e in entries],
+        "obj_ans": [e["answers"][2] for e in entries],
+    }
+
+
+def load_guidance_scale(loadpath: str) -> float:
+    """Read guidance_scale from a run's metadata.json (reference :431-436)."""
+    import os
+
+    from ddpo_tpu.utils import filesystem as fs
+
+    metadata = fs.read_json(os.path.join(loadpath, "metadata.json"))
+    return float(metadata["guidance_scale"])
