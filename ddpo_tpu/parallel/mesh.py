@@ -75,3 +75,27 @@ def local_batch_size(mesh: Mesh, per_device: int) -> int:
 
 def global_batch_size(mesh: Mesh, per_device: int) -> int:
     return per_device * mesh.devices.size
+
+
+def maybe_initialize_distributed() -> bool:
+    """jax.distributed.initialize() when a multi-process env is detected.
+
+    The reference calls initialize() unconditionally at import
+    (pipeline/sample.py:4, pipeline/finetune.py:3), which only works on TPU
+    pods. Here drivers call this guard: explicit coordinator env vars or a
+    Cloud TPU pod environment trigger initialization; single-process runs
+    skip it.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    pod = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = "," in pod
+    if explicit or multi_worker:
+        jax.distributed.initialize()
+        return True
+    return False

@@ -26,6 +26,7 @@ from ddpo_tpu.parallel import MeshConfig, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import n_params, sharded_softmax
 from ddpo_tpu.utils import Progress
 from ddpo_tpu.utils.checkpoints import save_unet
+from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
 from ddpo_tpu.utils.serialization import load_unet
 
@@ -40,6 +41,7 @@ def _dtype(name: str):
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     args = Parser().parse_args("train", argv)
     mesh = create_mesh(MeshConfig(tp=1))
     dp = mesh.shape["dp"]

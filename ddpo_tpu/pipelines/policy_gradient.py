@@ -40,6 +40,7 @@ from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
 from ddpo_tpu.training.stat_tracking import PerPromptStatTracker
 from ddpo_tpu.utils import Timer, fs
 from ddpo_tpu.utils.checkpoints import restore_train_state, save_train_state
+from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
 from ddpo_tpu.utils.serialization import load_unet
 from ddpo_tpu.models.tokenizer import make_uncond_ids
@@ -70,6 +71,7 @@ def build_optimizer(args):
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     args = Parser().parse_args("pg", argv)
     mesh = create_mesh(MeshConfig(tp=getattr(args, "mesh_tp", 1)))
     n_devices = mesh.devices.size
@@ -435,7 +437,7 @@ def main(argv=None):
                 {
                     "state": jax.device_get(state),
                     "epoch": epoch,
-                    "rng": jax.device_get(train_rng),
+                    "rng": jax.device_get(jax.random.key_data(sample_rng)),
                 },
             )
 

@@ -24,6 +24,7 @@ from ddpo_tpu.parallel.collectives import worker_sum
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
 from ddpo_tpu.utils import StreamingAverage, Timer, make_masker
 from ddpo_tpu.utils.images import decode_jpeg, encode_jpeg
+from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
 from ddpo_tpu.utils.serialization import load_unet
 
@@ -38,6 +39,7 @@ def _dtype(name: str):
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     args = Parser().parse_args("sample", argv)
     mesh = create_mesh(MeshConfig(tp=1))
     dp = mesh.shape["dp"]

@@ -181,8 +181,36 @@ def load_unet(
             restored, step = restore_train_state(loadpath[len("orbax:"):])
             assert restored is not None, f"no checkpoint under {loadpath}"
             print(f"[ serialization ] restored orbax step {step}")
-            params["unet"] = to_dtype(restored["params"], dtype)
+            unet_params = restored["state"]["params"] if "state" in restored else restored["params"]
+            params["unet"] = to_dtype(unet_params, dtype)
         else:
             print(f"[ serialization ] loading finetuned unet from {loadpath}")
             params["unet"] = to_dtype(load_unet_pickle(loadpath, epoch=epoch), dtype)
     return models, params
+
+
+def save_stable_diffusion_export(savepath: str, params: dict) -> str:
+    """Export params in a diffusers-compatible Flax layout.
+
+    Writes {unet,vae,text_encoder}/*.msgpack under savepath, mirroring the
+    reference's HF-pipeline export (utils/serialization.py:189-241) without
+    requiring diffusers: our param trees already use HF Flax naming, so the
+    msgpack files round-trip through models/convert.load_sd_checkpoint and
+    are loadable by diffusers' from_pretrained(..., from_flax=True) given
+    matching config.json files.
+    """
+    from flax.serialization import msgpack_serialize
+
+    os.makedirs(savepath, exist_ok=True)
+    fname = {
+        "unet": "diffusion_flax_model.msgpack",
+        "vae": "diffusion_flax_model.msgpack",
+        "text_encoder": "flax_model.msgpack",
+    }
+    for sub in ("unet", "vae", "text_encoder"):
+        subdir = os.path.join(savepath, sub)
+        os.makedirs(subdir, exist_ok=True)
+        tree = jax.tree_util.tree_map(np.asarray, jax.device_get(params[sub]))
+        with open(os.path.join(subdir, fname[sub]), "wb") as f:
+            f.write(msgpack_serialize(tree))
+    return savepath
