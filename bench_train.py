@@ -1,0 +1,143 @@
+"""Benchmark: DDPO PPO update time (BASELINE.md metric #2).
+
+Compares the reference-style update (one jitted dispatch per (batch,
+timestep) slice, float32, CFG double-forward — the shape of
+pipeline/policy_gradient.py:431-441) against this framework's fused update
+(one dispatch scans all trained timesteps; bf16 activations optional).
+
+Prints one JSON line with per-(sample, timestep) update latency.
+Env: TRAIN_BENCH_BS (default 2), TRAIN_BENCH_T (default 10), TRAIN_BENCH_RES.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ddpo_tpu_compile_cache")
+
+    from ddpo_tpu.core import DDIMScheduler
+    from ddpo_tpu.models import UNet2DCondition
+    from ddpo_tpu.training.policy_gradient import (
+        AccumulatingTrainState,
+        train_step,
+        train_step_fused,
+    )
+
+    bs = int(os.environ.get("TRAIN_BENCH_BS", "2"))
+    num_t = int(os.environ.get("TRAIN_BENCH_T", "10"))
+    res = int(os.environ.get("TRAIN_BENCH_RES", "512"))
+    latent = res // 8
+
+    def make_apply(dtype):
+        model = UNet2DCondition(dtype=dtype)
+
+        def apply_fn(p, latents, t, context):
+            return model.apply({"params": p}, latents, t, context)
+
+        return model, apply_fn
+
+    model32, apply32 = make_apply(jnp.float32)
+    _, apply16 = make_apply(jnp.bfloat16)
+
+    init = jax.jit(model32.init)
+    params = init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, latent, latent)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+
+    scheduler = DDIMScheduler()
+    sched_state = scheduler.set_timesteps(scheduler.create_state(), 50)
+
+    def make_state(apply_fn):
+        return AccumulatingTrainState.create(
+            apply_fn=apply_fn, params=params,
+            tx=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5)),
+        )
+
+    key = jax.random.PRNGKey(1)
+    batch_t = {
+        "latents": jax.random.normal(key, (num_t, bs, 4, latent, latent)),
+        "next_latents": jax.random.normal(key, (num_t, bs, 4, latent, latent)),
+        "ts": jnp.tile(jnp.arange(1, 982, 980 // max(1, num_t - 1))[:num_t, None], (1, bs)),
+        "log_probs": jnp.zeros((num_t, bs)),
+        "advantages": jnp.ones((bs,)),
+        "prompt_embeds": jax.random.normal(key, (bs, 77, 768)),
+        "uncond_embeds": jnp.zeros((bs, 77, 768)),
+    }
+    kwargs = dict(
+        scheduler=scheduler, train_cfg=True, guidance_scale=5.0, eta=1.0,
+        clip_range=1e-4,
+    )
+
+    def sync(state):
+        jax.device_get(np.asarray(state.step))
+
+    def time_variant(step_fn, state, run_once):
+        run_once(state)  # compile
+        t0 = time.perf_counter()
+        state = run_once(state)
+        sync(state)
+        return time.perf_counter() - t0
+
+    # reference-style: one dispatch per timestep slice, fp32
+    ref_step = jax.jit(
+        functools.partial(train_step, **kwargs),
+        static_argnames=("do_opt_update",),
+    )
+
+    def run_ref(state):
+        for j in range(num_t):
+            slice_j = {
+                k: (batch_t[k][j] if k in ("latents", "next_latents", "ts", "log_probs") else batch_t[k])
+                for k in batch_t
+            }
+            state, _ = ref_step(
+                state, slice_j, sched_state, do_opt_update=(j == num_t - 1)
+            )
+        return state
+
+    t_ref = time_variant(train_step, make_state(apply32), run_ref)
+
+    # fused: one dispatch for all timesteps, bf16 activations
+    fused_step = jax.jit(
+        functools.partial(train_step_fused, do_opt_update=True, **kwargs),
+    )
+
+    def run_fused(state):
+        state, _ = fused_step(state, batch_t, sched_state)
+        return state
+
+    t_fused = time_variant(train_step_fused, make_state(apply16), run_fused)
+
+    per_ref = t_ref / (bs * num_t)
+    per_fused = t_fused / (bs * num_t)
+    print(
+        json.dumps(
+            {
+                "metric": f"PG update time per (sample, timestep) at {res}px, CFG train",
+                "value": round(per_fused * 1e3, 3),
+                "unit": "ms",
+                "vs_baseline": round(per_ref / per_fused, 3),
+                "baseline_ms": round(per_ref * 1e3, 3),
+                "batch": bs,
+                "timesteps": num_t,
+                "device": jax.devices()[0].device_kind,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

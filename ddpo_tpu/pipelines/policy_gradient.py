@@ -119,10 +119,19 @@ def main(argv=None):
     def unet_apply(p, latents, t, context):
         return models.unet.apply({"params": p}, latents, t, context)
 
+    # training recomputes log-probs under the configured train dtype
+    # (reference trains float32, config/base.py pg.dtype) while sampling
+    # runs the bf16 instance — precision mismatches between the two passes
+    # feed straight into the PPO ratio, so this is config-controlled
+    train_model = type(models.unet)(models.unet.config, dtype=_dtype(args.dtype))
+
+    def train_unet_apply(p, latents, t, context):
+        return train_model.apply({"params": p}, latents, t, context)
+
     # ------------------------------- train state ------------------------------ #
     optimizer = build_optimizer(args)
     state = AccumulatingTrainState.create(
-        apply_fn=unet_apply, params=params["unet"], tx=optimizer
+        apply_fn=train_unet_apply, params=params["unet"], tx=optimizer
     )
     start_epoch = 0
     if getattr(args, "resume", False):

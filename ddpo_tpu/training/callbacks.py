@@ -479,10 +479,14 @@ def llava_bertscore(url="http://127.0.0.1:8085", batch_size=16, jit=False, **kwa
             response = sess.post(url, data=pickle.dumps(data), timeout=120)
             response_data = pickle.loads(response.content)
 
-            all_scores += np.array(response_data["recall"]).squeeze().tolist()
-            all_info["precision"] += np.array(response_data["precision"]).squeeze().tolist()
-            all_info["f1"] += np.array(response_data["f1"]).squeeze().tolist()
-            all_info["outputs"] += np.array(response_data["outputs"]).squeeze().tolist()
+            def _flat(x):
+                # single-image batches squeeze to scalars; keep 1-d
+                return np.atleast_1d(np.asarray(x).squeeze()).tolist()
+
+            all_scores += _flat(response_data["recall"])
+            all_info["precision"] += _flat(response_data["precision"])
+            all_info["f1"] += _flat(response_data["f1"])
+            all_info["outputs"] += _flat(response_data["outputs"])
 
         return np.array(all_scores), {k: np.array(v) for k, v in all_info.items()}
 
