@@ -83,3 +83,33 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_flash_blocks():
+    """Sweep flash block sizes at the big latent shape."""
+    _setup()
+    from ddpo_tpu.ops.attention import flash_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (8, 4096, 8, 40), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (8, 4096, 8, 40), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (8, 4096, 8, 40), jnp.bfloat16)
+    for bq, bk in ((256, 1024), (512, 1024), (512, 2048), (1024, 1024),
+                   (512, 4096), (1024, 4096), (2048, 4096)):
+        try:
+            t = timeit_looped(
+                lambda q, k, v: flash_attention(q, k, v, None, bq, bk), (q, k, v)
+            )
+            print(f"flash bq={bq} bk={bk}: {t*1e3:.2f} ms", flush=True)
+        except Exception as e:
+            print(f"flash bq={bq} bk={bk}: FAIL {type(e).__name__} {str(e)[:80]}")
+
+
+def bench_gn_stats():
+    _setup()
+    from ddpo_tpu.ops.groupnorm import group_norm
+
+    for (s, c) in ((4096, 320), (1024, 640)):
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, s, c), jnp.bfloat16)
+        scale, bias = jnp.ones((c,)), jnp.zeros((c,))
+        t = timeit_looped(lambda x: group_norm(x, scale, bias, 32, silu=True), (x,))
+        print(f"gn(stats-kernel) S={s} C={c}: {t*1e3:.3f} ms", flush=True)

@@ -108,6 +108,13 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
 
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
+    # cap the p-buffer (block_q x block_k f32) + double-buffered K/V blocks
+    # to stay inside scoped VMEM; matters for fp32 inputs (training path)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    while block_k > 1024 and (
+        block_q * block_k * 4 + 4 * block_k * _round_up(d, 128) * itemsize
+    ) > 13 * 2**20:
+        block_k //= 2
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
@@ -143,7 +150,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
-    q, k, v, scale=None, block_q=512, block_k=1024, interpret=False
+    q, k, v, scale=None, block_q=512, block_k=4096, interpret=False
 ):
     """Pallas flash attention. Forward on TPU/interpreter; exact-math custom
     VJP through the XLA reference (recompute, no score materialization saved).
@@ -154,8 +161,9 @@ def flash_attention(
 
 
 # Block sizes tuned on TPU v5e at the SD latent self-attention shape
-# (B*H=64, S=4096, D=40->128): bq=512/bk=1024 runs 1.8x faster than XLA's
-# attention and 2x faster than 256/256 blocks (see bench_ops.py).
+# (B*H=64, S=4096, D=40): bq=512/bk=4096 (whole K/V per program for SD
+# shapes) measured 2.25x faster than XLA attention; larger q blocks OOM the
+# scoped VMEM (p-buffer is block_q x block_k f32). See bench_ops.py.
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):

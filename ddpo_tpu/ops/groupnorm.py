@@ -45,24 +45,28 @@ def group_norm(
 
     xf = x.reshape(n, -1, c)
     s = xf.shape[1]
-
-    onehot = _group_onehot(c, g, xf.dtype)
     denom = float(s * gsize)
-    # per-(batch, group) first and second moments, fp32 accumulation on MXU
-    sums = jnp.einsum(
-        "nsc,cg->ng", xf, onehot, preferred_element_type=jnp.float32
-    )
-    sq_sums = jnp.einsum(
-        "nsc,cg->ng",
-        xf.astype(jnp.float32) * xf.astype(jnp.float32),
-        onehot.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+
+    stats = _group_stats(xf, g)
+    if stats is not None:
+        sums, sq_sums = stats  # single-read Pallas stats pass
+    else:
+        onehot = _group_onehot(c, g, xf.dtype)
+        # per-(batch, group) moments, fp32 accumulation on MXU
+        sums = jnp.einsum(
+            "nsc,cg->ng", xf, onehot, preferred_element_type=jnp.float32
+        )
+        sq_sums = jnp.einsum(
+            "nsc,cg->ng",
+            xf.astype(jnp.float32) * xf.astype(jnp.float32),
+            onehot.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
     mean_g = sums / denom  # (n, g)
     var_g = sq_sums / denom - mean_g**2
 
     # broadcast group stats back over channels: (n, g) @ (g, c)
-    onehot_f = onehot.astype(jnp.float32)
+    onehot_f = _group_onehot(c, g, jnp.float32)
     mean_c = (mean_g @ onehot_f.T)[:, None, :]  # (n, 1, c)
     rstd_c = (jax.lax.rsqrt(var_g + eps) @ onehot_f.T)[:, None, :]
 
@@ -71,6 +75,82 @@ def group_norm(
     if silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(orig_dtype).reshape(x.shape)
+
+
+_STATS_LANES = 128
+
+
+def _gn_stats_kernel(x_ref, out_ref, *, gsize):
+    """Accumulate per-group (sum, sum-of-squares) over spatial blocks.
+
+    x_ref: (1, block_s, C). out_ref: (1, 16, 128) revisited across the
+    spatial grid dim — rows 0..7 hold the group sums (replicated), rows
+    8..15 the squared sums; lanes beyond the group count stay zero. One
+    bf16 read of the feature map; fp32 accumulation on the MXU.
+    """
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # (block_s, c)
+    c = x.shape[1]
+
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, _STATS_LANES), 0) // gsize
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (c, _STATS_LANES), 1)
+    onehot = (ch_group == lane_ids).astype(jnp.float32)  # (c, 128)
+
+    sums = jnp.sum(
+        jnp.dot(x, onehot, preferred_element_type=jnp.float32), axis=0
+    )
+    sq_sums = jnp.sum(
+        jnp.dot(x * x, onehot, preferred_element_type=jnp.float32), axis=0
+    )
+    block = jnp.concatenate(
+        [
+            jnp.broadcast_to(sums, (8, _STATS_LANES)),
+            jnp.broadcast_to(sq_sums, (8, _STATS_LANES)),
+        ],
+        axis=0,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = block
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[0] += block
+
+
+def _group_stats(xf: jnp.ndarray, g: int, interpret: Optional[bool] = None):
+    """(n, s, c) -> (sums (n, g), sq_sums (n, g)) via the stats kernel.
+
+    Returns None when the kernel does not apply (non-TPU backend or
+    unfriendly shape); callers fall back to the XLA einsum path.
+    """
+    n, s, c = xf.shape
+    if interpret is None:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        interpret = False
+    if g > _STATS_LANES or c % g:
+        return None
+    # spatial block: <=2MB bf16 per block, divisible into s
+    block_s = s
+    for candidate in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if s % candidate == 0 and candidate * c * xf.dtype.itemsize <= 2**21:
+            block_s = candidate
+            break
+    if s % block_s or block_s < 8:
+        return None
+
+    kernel = functools.partial(_gn_stats_kernel, gsize=c // g)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 16, _STATS_LANES), jnp.float32),
+        grid=(n, s // block_s),
+        in_specs=[pl.BlockSpec((1, block_s, c), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, 16, _STATS_LANES), lambda i, j: (i, 0, 0)),
+        interpret=interpret,
+    )(xf)
+    return out[:, 0, :g], out[:, 8, :g]
 
 
 @functools.lru_cache(maxsize=None)

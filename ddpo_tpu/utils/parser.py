@@ -97,6 +97,7 @@ class Parser:
             self._set_seed(args)
             self._set_paths(args)
             self._provenance(args)
+            self._enable_compile_cache(args)
             init_logging("ddpo_tpu", getattr(args, "verbose", False))
             self._save_args(args)
         print(f"[ parser ] {known.dataset}:{experiment}")
@@ -164,6 +165,23 @@ class Parser:
         try:
             if not fs.is_remote(args.savepath):
                 save_git_diff(os.path.join(args.savepath, "diff.txt"))
+        except Exception:
+            pass
+
+    @staticmethod
+    def _enable_compile_cache(args: Args) -> None:
+        """Persistent XLA compile cache (reference: compilation_cache.
+        initialize_cache(args.cache), pipeline/policy_gradient.py:48)."""
+        cache = getattr(args, "cache", None)
+        if not cache:
+            return
+        try:
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.join(cache, "xla")
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception:
             pass
 

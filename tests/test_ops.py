@@ -84,3 +84,22 @@ def test_group_norm_bf16_stats_in_fp32():
     )
     out = group_norm(x, jnp.ones((64,)), jnp.zeros((64,)), num_groups=8)
     assert abs(float(out.astype(jnp.float32).mean())) < 0.05
+
+
+def test_gn_stats_kernel_matches_einsum():
+    """The Pallas stats pass (interpret mode) must match the XLA moments."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddpo_tpu.ops.groupnorm import _group_onehot, _group_stats
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 256)) + 0.3
+    g = 32
+    stats = _group_stats(x, g, interpret=True)
+    assert stats is not None
+    sums, sq_sums = stats
+    onehot = _group_onehot(256, g, jnp.float32)
+    ref_sums = jnp.einsum("nsc,cg->ng", x, onehot)
+    ref_sq = jnp.einsum("nsc,cg->ng", x * x, onehot)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sq_sums), np.asarray(ref_sq), rtol=1e-4)
