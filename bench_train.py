@@ -41,6 +41,9 @@ def main():
     def make_apply(dtype):
         model = UNet2DCondition(dtype=dtype)
 
+        # full fwd+bwd of the 860M UNet at 512px does not fit one 16GB v5e
+        # without rematerialization (the reference trained on 32GB v4 chips)
+        @jax.checkpoint
         def apply_fn(p, latents, t, context):
             return model.apply({"params": p}, latents, t, context)
 

@@ -80,6 +80,7 @@ base = {
         "seed": 0,
         "model_preset": "sd14",
         "num_workers": 2,  # prefetch threads in the data loader
+        "remat": True,  # rematerialize UNet activations in the backward
     },
     # DDPO policy-gradient training (pipelines/policy_gradient.py)
     "pg": {
@@ -129,6 +130,7 @@ base = {
         "profile_dir": None,  # jax.profiler trace output
         "resume": False,  # restore full train state from savepath
         "model_preset": "sd14",  # "tiny" for CPU smoke tests
+        "remat": True,  # rematerialize UNet activations in the PPO backward
     },
 }
 

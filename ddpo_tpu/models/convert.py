@@ -158,3 +158,32 @@ def load_sd_checkpoint(path: str, dtype=None) -> dict:
             state_dict = safetensors.numpy.load_file(st_path)
             out[sub] = from_diffusers_torch(state_dict)
     return out
+
+
+def load_clip_checkpoint(path: str) -> dict:
+    """Load a CLIP model checkpoint dir (openai/clip-vit-large-patch14
+    layout) into the param tree consumed by models/clip.py and the
+    consistency/aesthetic reward callbacks.
+
+    Accepts transformers Flax msgpack (flax_model.msgpack) or torch
+    safetensors (model.safetensors); local files only.
+    """
+    import os
+
+    flax_path = os.path.join(path, "flax_model.msgpack")
+    if os.path.exists(flax_path):
+        from flax.serialization import msgpack_restore
+
+        with open(flax_path, "rb") as f:
+            return from_diffusers_flax(msgpack_restore(f.read()))
+    st_path = os.path.join(path, "model.safetensors")
+    if not os.path.exists(st_path):
+        raise FileNotFoundError(f"no flax/safetensors CLIP weights under {path}")
+    import safetensors.numpy
+
+    state_dict = safetensors.numpy.load_file(st_path)
+    tree = from_diffusers_torch(state_dict)
+    # logit_scale is a bare scalar parameter in the torch checkpoint
+    if "logit_scale" in state_dict:
+        tree["logit_scale"] = np.asarray(state_dict["logit_scale"])
+    return tree

@@ -191,12 +191,13 @@ def attention(
 ) -> jnp.ndarray:
     """Dispatching entry point used by the models.
 
-    use_flash=None -> auto: Pallas kernel on TPU backends for long sequences,
-    XLA everywhere else (CPU tests, short cross-attention over 77 tokens).
+    use_flash=None -> auto: Pallas kernel on TPU backends for all UNet
+    self-attention levels (measured faster at every S>=256 on v5e, see
+    bench_ops.py), XLA elsewhere (CPU tests, 77-token cross-attention).
     """
     if use_flash is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_flash = on_tpu and q.shape[1] >= 1024
+        use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
     if use_flash:
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)

@@ -47,21 +47,7 @@ def group_norm(
     s = xf.shape[1]
     denom = float(s * gsize)
 
-    stats = _group_stats(xf, g)
-    if stats is not None:
-        sums, sq_sums = stats  # single-read Pallas stats pass
-    else:
-        onehot = _group_onehot(c, g, xf.dtype)
-        # per-(batch, group) moments, fp32 accumulation on MXU
-        sums = jnp.einsum(
-            "nsc,cg->ng", xf, onehot, preferred_element_type=jnp.float32
-        )
-        sq_sums = jnp.einsum(
-            "nsc,cg->ng",
-            xf.astype(jnp.float32) * xf.astype(jnp.float32),
-            onehot.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+    sums, sq_sums = _moments(xf, g)
     mean_g = sums / denom  # (n, g)
     var_g = sq_sums / denom - mean_g**2
 
@@ -75,6 +61,52 @@ def group_norm(
     if silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(orig_dtype).reshape(x.shape)
+
+
+def _moments_reference(xf: jnp.ndarray, g: int):
+    """XLA path: per-(batch, group) first/second moments via one-hot MXU
+    matmuls (no lane-splitting reshape)."""
+    c = xf.shape[-1]
+    onehot = _group_onehot(c, g, xf.dtype)
+    sums = jnp.einsum(
+        "nsc,cg->ng", xf, onehot, preferred_element_type=jnp.float32
+    )
+    sq_sums = jnp.einsum(
+        "nsc,cg->ng",
+        xf.astype(jnp.float32) * xf.astype(jnp.float32),
+        onehot.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return sums, sq_sums
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _moments(xf: jnp.ndarray, g: int):
+    """(n, s, c) -> (sums, sq_sums) each (n, g); Pallas single-read pass on
+    TPU, XLA einsums elsewhere. custom_vjp because the stats kernel is
+    forward-only (GroupNorm is differentiated in every training step)."""
+    stats = _group_stats(xf, g)
+    if stats is not None:
+        return stats
+    return _moments_reference(xf, g)
+
+
+def _moments_fwd(xf, g):
+    return _moments(xf, g), xf
+
+
+def _moments_bwd(g, xf, grads):
+    g_sums, g_sq = grads  # (n, g) each
+    c = xf.shape[-1]
+    onehot = _group_onehot(c, g, jnp.float32)
+    # d sums / d x = 1 per (group member); d sq_sums / d x = 2x
+    g_per_c = (g_sums @ onehot.T)[:, None, :]  # (n, 1, c)
+    g_sq_per_c = (g_sq @ onehot.T)[:, None, :]
+    gx = g_per_c + 2.0 * xf.astype(jnp.float32) * g_sq_per_c
+    return (gx.astype(xf.dtype),)
+
+
+_moments.defvjp(_moments_fwd, _moments_bwd)
 
 
 _STATS_LANES = 128

@@ -35,15 +35,26 @@ class MeshConfig:
 def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     """Build the ('dp', 'tp') mesh over the given (default: all) devices.
 
-    For multi-host runs devices are ordered so that the dp axis crosses hosts
-    (DCN) on its outer dimension while tp stays within a host's ICI domain.
+    Uses mesh_utils to order devices along the physical ICI topology (tp on
+    the innermost/fastest links, dp across hosts/DCN on the outer dim);
+    falls back to a plain reshape for explicit device lists and virtual
+    CPU meshes.
     """
-    devices = np.asarray(devices if devices is not None else jax.devices())
-    n = devices.size
+    n = len(devices) if devices is not None else len(jax.devices())
     tp = config.tp
     dp = config.dp if config.dp != -1 else n // tp
     if dp * tp != n:
         raise ValueError(f"mesh {dp}x{tp} != {n} devices")
+
+    if devices is None:
+        try:
+            from jax.experimental import mesh_utils
+
+            mesh_devices = mesh_utils.create_device_mesh((dp, tp))
+            return Mesh(mesh_devices, ("dp", "tp"))
+        except Exception:
+            devices = jax.devices()
+    devices = np.asarray(devices)
     return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
 
 

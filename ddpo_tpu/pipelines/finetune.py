@@ -88,6 +88,9 @@ def main(argv=None):
     def unet_apply(p, latents, t, context):
         return models.unet.apply({"params": p}, latents, t, context)
 
+    if getattr(args, "remat", True):
+        unet_apply = jax.checkpoint(unet_apply)
+
     def text_apply(p, ids):
         return models.text_encoder.apply({"params": p}, ids)
 

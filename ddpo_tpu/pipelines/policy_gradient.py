@@ -128,6 +128,11 @@ def main(argv=None):
     def train_unet_apply(p, latents, t, context):
         return train_model.apply({"params": p}, latents, t, context)
 
+    if getattr(args, "remat", True):
+        # trade recompute for activation memory: the full SD UNet fwd+bwd at
+        # 512px does not fit a 16GB chip without it
+        train_unet_apply = jax.checkpoint(train_unet_apply)
+
     # ------------------------------- train state ------------------------------ #
     optimizer = build_optimizer(args)
     state = AccumulatingTrainState.create(

@@ -103,3 +103,29 @@ def test_gn_stats_kernel_matches_einsum():
     ref_sq = jnp.einsum("nsc,cg->ng", x * x, onehot)
     np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(sq_sums), np.asarray(ref_sq), rtol=1e-4)
+
+
+def test_group_norm_gradients_match_reshape_formulation():
+    """custom-VJP moments path == autodiff through the naive formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 64)) + 0.2
+    scale = jnp.ones((64,)) * 1.1
+    bias = jnp.zeros((64,)) + 0.05
+
+    def loss_ours(x):
+        return (group_norm(x, scale, bias, num_groups=8, silu=True) ** 2).sum()
+
+    def loss_naive(x):
+        xf = x.astype(jnp.float32).reshape(2, -1, 8, 8)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
+        out = xn * scale + bias
+        out = out * jax.nn.sigmoid(out)
+        return (out ** 2).sum()
+
+    g1 = jax.grad(loss_ours)(x)
+    g2 = jax.grad(loss_naive)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
