@@ -64,9 +64,13 @@ def main():
     sched_state = scheduler.set_timesteps(scheduler.create_state(), 50)
 
     def make_state(apply_fn):
+        # adafactor (a reference config option) keeps optimizer state tiny:
+        # fp32 params + grad_acc + adamw moments exceed 16GB HBM on a v5e
         return AccumulatingTrainState.create(
             apply_fn=apply_fn, params=params,
-            tx=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5)),
+            tx=optax.chain(
+                optax.clip_by_global_norm(1.0), optax.adafactor(1e-5)
+            ),
         )
 
     key = jax.random.PRNGKey(1)
@@ -111,7 +115,11 @@ def main():
             )
         return state
 
-    t_ref = time_variant(train_step, make_state(apply32), run_ref)
+    try:
+        t_ref = time_variant(train_step, make_state(apply32), run_ref)
+    except Exception as e:  # the fp32 reference config may not fit 16GB
+        print(f"# reference-style fp32 variant failed: {type(e).__name__}")
+        t_ref = None
 
     # fused: one dispatch for all timesteps, bf16 activations
     fused_step = jax.jit(
@@ -124,22 +132,23 @@ def main():
 
     t_fused = time_variant(train_step_fused, make_state(apply16), run_fused)
 
-    per_ref = t_ref / (bs * num_t)
     per_fused = t_fused / (bs * num_t)
-    print(
-        json.dumps(
-            {
-                "metric": f"PG update time per (sample, timestep) at {res}px, CFG train",
-                "value": round(per_fused * 1e3, 3),
-                "unit": "ms",
-                "vs_baseline": round(per_ref / per_fused, 3),
-                "baseline_ms": round(per_ref * 1e3, 3),
-                "batch": bs,
-                "timesteps": num_t,
-                "device": jax.devices()[0].device_kind,
-            }
-        )
-    )
+    result = {
+        "metric": f"PG update time per (sample, timestep) at {res}px, CFG train",
+        "value": round(per_fused * 1e3, 3),
+        "unit": "ms",
+        "batch": bs,
+        "timesteps": num_t,
+        "device": jax.devices()[0].device_kind,
+    }
+    if t_ref is not None:
+        per_ref = t_ref / (bs * num_t)
+        result["vs_baseline"] = round(per_ref / per_fused, 3)
+        result["baseline_ms"] = round(per_ref * 1e3, 3)
+    else:
+        result["vs_baseline"] = None
+        result["baseline_note"] = "reference-style fp32 per-timestep variant OOMs on 16GB"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
