@@ -63,11 +63,12 @@ def main():
     scheduler = DDIMScheduler()
     sched_state = scheduler.set_timesteps(scheduler.create_state(), 50)
 
-    def make_state(apply_fn):
+    def make_state(apply_fn, dtype=jnp.float32):
         # adafactor (a reference config option) keeps optimizer state tiny:
         # fp32 params + grad_acc + adamw moments exceed 16GB HBM on a v5e
+        p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
         return AccumulatingTrainState.create(
-            apply_fn=apply_fn, params=params,
+            apply_fn=apply_fn, params=p,
             tx=optax.chain(
                 optax.clip_by_global_norm(1.0), optax.adafactor(1e-5)
             ),
@@ -92,7 +93,8 @@ def main():
         jax.device_get(np.asarray(state.step))
 
     def time_variant(step_fn, state, run_once):
-        run_once(state)  # compile
+        state = run_once(state)  # compile (donated: keep the new state)
+        sync(state)
         t0 = time.perf_counter()
         state = run_once(state)
         sync(state)
@@ -102,6 +104,7 @@ def main():
     ref_step = jax.jit(
         functools.partial(train_step, **kwargs),
         static_argnames=("do_opt_update",),
+        donate_argnums=(0,),
     )
 
     def run_ref(state):
@@ -115,22 +118,34 @@ def main():
             )
         return state
 
-    try:
-        t_ref = time_variant(train_step, make_state(apply32), run_ref)
-    except Exception as e:  # the fp32 reference config may not fit 16GB
-        print(f"# reference-style fp32 variant failed: {type(e).__name__}")
-        t_ref = None
+    import gc
+
+    def measure_ref():
+        try:
+            return time_variant(train_step, make_state(apply32), run_ref)
+        except Exception as e:  # the fp32 reference config may not fit 16GB
+            print(f"# reference-style fp32 variant failed: {type(e).__name__}")
+            return None
+
+    t_ref = measure_ref()
+    # drop any buffers the failed/finished fp32 variant still references
+    gc.collect()
+    jax.clear_caches()
 
     # fused: one dispatch for all timesteps, bf16 activations
     fused_step = jax.jit(
         functools.partial(train_step_fused, do_opt_update=True, **kwargs),
+        donate_argnums=(0,),
     )
 
     def run_fused(state):
         state, _ = fused_step(state, batch_t, sched_state)
         return state
 
-    t_fused = time_variant(train_step_fused, make_state(apply16), run_fused)
+    # bf16 params + grad buffers: the fp32 state alone busts 16GB HBM
+    t_fused = time_variant(
+        train_step_fused, make_state(apply16, jnp.bfloat16), run_fused
+    )
 
     per_fused = t_fused / (bs * num_t)
     result = {

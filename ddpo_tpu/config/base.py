@@ -125,6 +125,7 @@ base = {
         "per_prompt_stats_min_count": 16,
         # TPU-native extensions (not in the reference)
         "fused_train_loop": False,  # scan over timesteps in one dispatch
+        "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
         "mesh_tp": 1,  # tensor-parallel axis size
         "sample_dtype": "bfloat16",  # activation dtype for the sampler
         "profile_dir": None,  # jax.profiler trace output

@@ -156,8 +156,31 @@ def load_sd_checkpoint(path: str, dtype=None) -> dict:
             import safetensors.numpy
 
             state_dict = safetensors.numpy.load_file(st_path)
-            out[sub] = from_diffusers_torch(state_dict)
+            tree = from_diffusers_torch(state_dict)
+            if sub == "vae":
+                tree = _alias_vae_attention(tree)
+            out[sub] = tree
     return out
+
+
+_VAE_ATTN_ALIASES = {
+    "to_q": "query", "to_k": "key", "to_v": "value", "to_out_0": "proj_attn",
+}
+
+
+def _alias_vae_attention(tree):
+    """Newer diffusers torch VAEs name mid-block attention to_q/to_k/to_v/
+    to_out.0; our VAESelfAttention (and older Flax checkpoints) use
+    query/key/value/proj_attn. Rename in place where present."""
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        renamed = {}
+        for key, val in node.items():
+            renamed[_VAE_ATTN_ALIASES.get(key, key)] = walk(val)
+        return renamed
+
+    return walk(tree)
 
 
 def load_clip_checkpoint(path: str) -> dict:

@@ -182,6 +182,25 @@ def main(argv=None):
         lambda ids: models.text_encoder.apply({"params": text_params}, ids)
     )
 
+    resident = getattr(args, "resident_inner_loop", False)
+    if resident:
+        assert args.train_accumulation_steps == 1, (
+            "resident_inner_loop applies one optimizer update per minibatch"
+        )
+        jit_inner_epoch = jax.jit(
+            functools.partial(
+                training.policy_gradient.inner_epoch_resident,
+                scheduler=scheduler,
+                train_batch_size=train_bs,
+                num_train_ts=int(args.n_inference_steps * args.train_timestep_ratio),
+                train_cfg=args.train_cfg,
+                guidance_scale=args.guidance_scale,
+                eta=args.eta,
+                clip_range=args.ppo_clip_range,
+            ),
+            donate_argnums=(0,),
+        )
+
     step_fn = (
         training.policy_gradient.train_step_fused
         if getattr(args, "fused_train_loop", False)
@@ -272,17 +291,26 @@ def main(argv=None):
             )
             time.sleep(0)
 
-            samples.append(
-                {
-                    "prompts": np.array(sample_prompts),
+            if resident:
+                # trajectories never leave the device (SURVEY.md section 7.3)
+                entry = {
+                    "embeds": prompt_embeds,
+                    "latents": traj["latents"],
+                    "next_latents": traj["next_latents"],
+                    "log_probs": traj["log_probs"],
+                    "ts": traj["ts"],
+                }
+            else:
+                entry = {
                     "embeds": np.asarray(prompt_embeds),
                     "latents": np.asarray(jax.device_get(traj["latents"])),
                     "next_latents": np.asarray(jax.device_get(traj["next_latents"])),
                     "log_probs": np.asarray(jax.device_get(traj["log_probs"])),
                     "ts": np.asarray(jax.device_get(traj["ts"])),
-                    "callbacks": callbacks,
                 }
-            )
+            entry["prompts"] = np.array(sample_prompts)
+            entry["callbacks"] = callbacks
+            samples.append(entry)
             print(
                 f"[ pg ] epoch {epoch} sample batch {i}: {sample_bs} samples "
                 f"in {sample_time:.2f}s ({sample_bs / sample_time:.3f}/s)"
@@ -300,6 +328,14 @@ def main(argv=None):
                 args.filter_field
             ]
             del sample["callbacks"]
+        device_keys = (
+            ("embeds", "latents", "next_latents", "log_probs", "ts")
+            if resident
+            else ()
+        )
+        device_samples = {
+            k: jnp.concatenate([s.pop(k) for s in samples]) for k in device_keys
+        }
         samples = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs), *samples
         )
@@ -349,7 +385,38 @@ def main(argv=None):
                 del samples[name]
 
         # ============================ training phase =========================== #
-        for inner_epoch in range(args.num_inner_epochs):
+        if resident:
+            device_samples["advantages"] = shard_batch(
+                mesh, jnp.asarray(samples["advantages"], dtype=jnp.float32)
+            )
+            device_samples["uncond_embeds"] = shard_batch(
+                mesh, jnp.asarray(sample_uncond)
+            )
+            timer()
+            for inner_epoch in range(args.num_inner_epochs):
+                train_rng, epoch_rng = jax.random.split(train_rng)
+                state, infos_dev = jit_inner_epoch(
+                    state, device_samples, sched_state, epoch_rng
+                )
+                infos = jax.tree_util.tree_map(
+                    lambda x: np.asarray(jax.device_get(x)), infos_dev
+                )
+                print(
+                    f"[ pg ] epoch {epoch}.{inner_epoch} (resident): "
+                    f"loss {infos['loss'].mean():.5f} | "
+                    f"kl {infos['approx_kl'].mean():.2e} | "
+                    f"clipfrac {infos['clipfrac'].mean():.3f} | {timer():.2f}s"
+                )
+                if worker_id == 0:
+                    np.save(
+                        fs.join_and_create(
+                            localpath,
+                            f"train_info/{worker_id}_{epoch}_{inner_epoch}.npy",
+                        ),
+                        infos,
+                    )
+        # host-loop training path (resident mode handled above)
+        for inner_epoch in range(0 if resident else args.num_inner_epochs):
             total_bs, num_timesteps = samples["log_probs"].shape
             assert num_timesteps == args.n_inference_steps
 

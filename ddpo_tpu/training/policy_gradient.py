@@ -197,3 +197,74 @@ def train_step_fused(
     info = jax.tree_util.tree_map(lambda x: x / num_t, info_sum)
     new_state = state.apply_gradients(grads=grads, do_update=do_opt_update)
     return new_state, info
+
+
+def inner_epoch_resident(
+    state: AccumulatingTrainState,
+    samples: Dict[str, jnp.ndarray],
+    scheduler_state: DDIMState,
+    rng: jax.Array,
+    scheduler: DDIMScheduler,
+    train_batch_size: int,
+    num_train_ts: int,
+    train_cfg: bool,
+    guidance_scale: float,
+    eta: float,
+    clip_range: float,
+) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
+    """One full PPO inner epoch as a single on-device program.
+
+    The reference round-trips every trajectory through host numpy for the
+    shuffle/rebatch (pipeline/policy_gradient.py:385-404) and dispatches one
+    pmap per (batch, timestep). Here everything stays device-resident:
+
+      - batch shuffle: jax.random.permutation gather,
+      - independent per-sample timestep permutation: vmapped permutation +
+        take_along_axis (ref :389-393 semantics),
+      - rebatch to (n_batches, train_batch_size, ...) and lax.scan over
+        minibatches, scanning timesteps inside (grads averaged over
+        timesteps, optimizer applied once per minibatch — equivalent to the
+        reference's accumulate-then-update at the last timestep).
+
+    samples keys: latents/next_latents (B, T, 4, h, w), ts/log_probs (B, T),
+    advantages (B,), embeds (B, 77, D), uncond_embeds (B, 77, D).
+    Jit with everything from `scheduler` on static; B % train_batch_size == 0.
+    """
+    total_b, num_timesteps = samples["log_probs"].shape
+    n_batches = total_b // train_batch_size
+
+    perm_key, ts_key = jax.random.split(rng)
+    perm = jax.random.permutation(perm_key, total_b)
+    shuffled = jax.tree_util.tree_map(lambda x: x[perm], samples)
+
+    t_perms = jax.vmap(lambda k: jax.random.permutation(k, num_timesteps))(
+        jax.random.split(ts_key, total_b)
+    )  # (B, T)
+    for key in ("latents", "next_latents", "log_probs", "ts"):
+        x = shuffled[key]
+        idx = t_perms.reshape(t_perms.shape + (1,) * (x.ndim - 2))
+        shuffled[key] = jnp.take_along_axis(x, idx, axis=1)
+
+    def rebatch(x):
+        return x.reshape(n_batches, train_batch_size, *x.shape[1:])
+
+    batched = {k: rebatch(v) for k, v in shuffled.items()}
+
+    def per_minibatch(state, mb):
+        fused = {
+            "latents": jnp.swapaxes(mb["latents"][:, :num_train_ts], 0, 1),
+            "next_latents": jnp.swapaxes(mb["next_latents"][:, :num_train_ts], 0, 1),
+            "ts": jnp.swapaxes(mb["ts"][:, :num_train_ts], 0, 1),
+            "log_probs": jnp.swapaxes(mb["log_probs"][:, :num_train_ts], 0, 1),
+            "advantages": mb["advantages"],
+            "prompt_embeds": mb["embeds"],
+            "uncond_embeds": mb["uncond_embeds"],
+        }
+        state, info = train_step_fused(
+            state, fused, scheduler_state, scheduler, train_cfg,
+            guidance_scale, eta, clip_range, do_opt_update=True,
+        )
+        return state, info
+
+    state, infos = jax.lax.scan(per_minibatch, state, batched)
+    return state, infos  # infos: (n_batches,) per metric

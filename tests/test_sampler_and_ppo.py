@@ -258,3 +258,43 @@ def test_policy_gradient_improves_objective(setup):
         state, info = step(state, batch, sched_state)
         losses.append(float(info["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_resident_inner_epoch(setup):
+    """The one-program inner epoch runs, updates n_batches times, and its
+    per-minibatch info matches the semantics of the host-loop path (ratio 1
+    => kl ~ 0 on-policy)."""
+    from ddpo_tpu.training.policy_gradient import inner_epoch_resident
+
+    scheduler = setup["scheduler"]
+    sched_state = scheduler.set_timesteps(setup["sched_state"], T_STEPS)
+    traj = setup["traj"]
+    state = _make_state(setup)
+
+    samples = {
+        "latents": traj["latents"],
+        "next_latents": traj["next_latents"],
+        "ts": traj["ts"],
+        "log_probs": traj["log_probs"],
+        "advantages": jnp.ones((BATCH,)),
+        "embeds": setup["prompt_embeds"],
+        "uncond_embeds": setup["uncond_embeds"],
+    }
+    run = jax.jit(
+        functools.partial(
+            inner_epoch_resident,
+            scheduler=scheduler,
+            train_batch_size=2,
+            num_train_ts=T_STEPS,
+            train_cfg=True,
+            guidance_scale=5.0,
+            eta=1.0,
+            clip_range=1e-4,
+        )
+    )
+    new_state, infos = run(state, samples, sched_state, jax.random.PRNGKey(0))
+    assert int(new_state.step) == BATCH // 2  # one optimizer update per minibatch
+    assert infos["loss"].shape == (BATCH // 2,)
+    # on-policy: the shuffled/rebatched log-probs must still reproduce
+    assert float(jnp.max(infos["approx_kl"])) < 1e-6
+    np.testing.assert_allclose(np.asarray(infos["loss"]), -1.0, rtol=1e-3)
