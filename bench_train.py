@@ -127,6 +127,7 @@ def main():
             print(f"# reference-style fp32 variant failed: {type(e).__name__}")
             return None
 
+    print("# measuring reference-style fp32 variant", flush=True)
     t_ref = measure_ref()
     # drop any buffers the failed/finished fp32 variant still references
     gc.collect()
@@ -142,6 +143,7 @@ def main():
         state, _ = fused_step(state, batch_t, sched_state)
         return state
 
+    print("# measuring fused bf16 variant", flush=True)
     # bf16 params + grad buffers: the fp32 state alone busts 16GB HBM
     t_fused = time_variant(
         train_step_fused, make_state(apply16, jnp.bfloat16), run_fused
