@@ -81,10 +81,6 @@ def main():
         )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bench_flash_blocks():
     """Sweep flash block sizes at the big latent shape."""
     _setup()
@@ -113,3 +109,7 @@ def bench_gn_stats():
         scale, bias = jnp.ones((c,)), jnp.zeros((c,))
         t = timeit_looped(lambda x: group_norm(x, scale, bias, 32, silu=True), (x,))
         print(f"gn(stats-kernel) S={s} C={c}: {t*1e3:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

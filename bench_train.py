@@ -59,6 +59,10 @@ def main():
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 77, 768)),
     )["params"]
+    # keep the master copy on host: each variant gets a fresh device copy,
+    # so donation in one variant cannot invalidate the other's inputs and
+    # no stale device buffers survive between variants
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
 
     scheduler = DDIMScheduler()
     sched_state = scheduler.set_timesteps(scheduler.create_state(), 50)
@@ -66,7 +70,7 @@ def main():
     def make_state(apply_fn, dtype=jnp.float32):
         # adafactor (a reference config option) keeps optimizer state tiny:
         # fp32 params + grad_acc + adamw moments exceed 16GB HBM on a v5e
-        p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+        p = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=dtype), params)
         return AccumulatingTrainState.create(
             apply_fn=apply_fn, params=p,
             tx=optax.chain(
