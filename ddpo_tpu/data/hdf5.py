@@ -388,3 +388,17 @@ class SlowRemoteReader(_MultiFileReader):
 
 class LocalReader(SlowRemoteReader):
     pass
+
+
+def write_images(reader, savepath: str, limit: Optional[int] = None) -> int:
+    """Export a dataset's decoded images as PNGs (reference:
+    H5Writer.write_images, utils/hdf5.py:196-204). Works with any reader."""
+    import jax
+
+    from ddpo_tpu.utils.images import save_image
+
+    worker = jax.process_index()
+    n = len(reader) if limit is None else min(limit, len(reader))
+    for i in range(n):
+        save_image(os.path.join(savepath, f"{worker}_{i}.png"), reader[i]["images"])
+    return n

@@ -97,3 +97,20 @@ def load_unet_pickle(loadpath: str, epoch="latest"):
         epoch = get_latest_epoch(loadpath)
     fullpath = os.path.join(loadpath, f"unet_{epoch}.pkl")
     return fs.unpickle(fullpath)
+
+
+def save_state(savepath: str, state) -> None:
+    """Pickle a flax state dict (reference: utils/serialization.py:102-107)."""
+    import flax.serialization
+
+    fs.mkdir(savepath, fname=True)
+    with open(savepath, "wb") as f:
+        pickle.dump(flax.serialization.to_state_dict(jax.device_get(state)), f)
+
+
+def load_state(loadpath: str, state):
+    """Inverse of save_state (reference: utils/serialization.py:110-116)."""
+    import flax.serialization
+
+    with open(loadpath, "rb") as f:
+        return flax.serialization.from_state_dict(state, pickle.load(f))
