@@ -171,12 +171,25 @@ def main(argv=None):
     )
     dp_sharding = batch_sharding(mesh)
 
-    sample_fn = jax.jit(
-        functools.partial(
-            sample_trajectories, unet_apply, scheduler=scheduler,
-            config=sampler_config,
-        ),
-    )
+    if mesh.shape["tp"] == 1 and dp > 1:
+        # shard_map path: pmap-equivalent batch parallelism; Pallas kernels
+        # see local shards (GSPMD cannot partition pallas_call operands)
+        from ddpo_tpu.sampling.sampler import sample_trajectories_sharded
+
+        sample_fn = jax.jit(
+            lambda params, scheduler_state, prompt_embeds, uncond_embeds, key:
+            sample_trajectories_sharded(
+                mesh, unet_apply, params, scheduler, scheduler_state,
+                prompt_embeds, uncond_embeds, key, sampler_config,
+            )
+        )
+    else:
+        sample_fn = jax.jit(
+            functools.partial(
+                sample_trajectories, unet_apply, scheduler=scheduler,
+                config=sampler_config,
+            ),
+        )
     decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
     text_encode = jax.jit(
         lambda ids: models.text_encoder.apply({"params": text_params}, ids)

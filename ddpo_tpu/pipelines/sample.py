@@ -82,12 +82,23 @@ def main(argv=None):
         vae_scale_factor=vae_scale,
         latent_channels=models.vae.config.latent_channels,
     )
-    sample_fn = jax.jit(
-        functools.partial(
-            sample_trajectories, unet_apply, scheduler=scheduler,
-            config=sampler_config,
+    if dp > 1:
+        from ddpo_tpu.sampling.sampler import sample_trajectories_sharded
+
+        sample_fn = jax.jit(
+            lambda params, scheduler_state, prompt_embeds, uncond_embeds, key:
+            sample_trajectories_sharded(
+                mesh, unet_apply, params, scheduler, scheduler_state,
+                prompt_embeds, uncond_embeds, key, sampler_config,
+            )
         )
-    )
+    else:
+        sample_fn = jax.jit(
+            functools.partial(
+                sample_trajectories, unet_apply, scheduler=scheduler,
+                config=sampler_config,
+            )
+        )
     decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
     text_encode = jax.jit(
         lambda ids: models.text_encoder.apply({"params": text_params}, ids)

@@ -112,3 +112,46 @@ def vae_decode(vae_model, vae_params, latents: jnp.ndarray, scaling_factor: floa
     latents = latents / scaling_factor
     images = vae_model.apply({"params": vae_params}, latents, method=vae_model.decode)
     return jnp.clip(images / 2 + 0.5, 0.0, 1.0).transpose(0, 2, 3, 1)
+
+
+def sample_trajectories_sharded(
+    mesh,
+    unet_apply: Callable,
+    unet_params: Any,
+    scheduler: DDIMScheduler,
+    scheduler_state: DDIMState,
+    prompt_embeds: jnp.ndarray,
+    uncond_embeds: jnp.ndarray,
+    key: jax.Array,
+    config: SamplerConfig = SamplerConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """Data-parallel sampler via shard_map over the mesh's 'dp' axis.
+
+    Each dp shard runs the full scan on its local batch slice — the exact
+    semantics of the reference's pmap'd _p_generate (pipeline_flax_stable_
+    diffusion.py:372-401), with the RNG key folded with the shard index so
+    shards draw independent noise (the reference passes per-device keys).
+
+    This is the multi-chip path of choice: Pallas kernels inside see local
+    shards directly (GSPMD cannot automatically partition pallas_call), and
+    no collectives are needed — sampling is embarrassingly batch-parallel.
+    Requires replicated params (tp=1).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_sample(params, sched_state, local_prompts, local_uncond, key):
+        local_key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+        return sample_trajectories(
+            unet_apply, params, scheduler, sched_state,
+            local_prompts, local_uncond, local_key, config,
+        )
+
+    sharded = shard_map(
+        local_sample,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp"), P()),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    return sharded(unet_params, scheduler_state, prompt_embeds, uncond_embeds, key)
