@@ -191,9 +191,12 @@ def main(argv=None):
             ),
         )
     decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
-    text_encode = jax.jit(
-        lambda ids: models.text_encoder.apply({"params": text_params}, ids)
+    # params must be an argument, not a closure: captured params embed as
+    # HLO constants (a ~0.5GB program for the CLIP tower)
+    _text_encode = jax.jit(
+        lambda p, ids: models.text_encoder.apply({"params": p}, ids)
     )
+    text_encode = lambda ids: _text_encode(text_params, ids)
 
     resident = getattr(args, "resident_inner_loop", False)
     if resident:

@@ -100,9 +100,10 @@ def main(argv=None):
             )
         )
     decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
-    text_encode = jax.jit(
-        lambda ids: models.text_encoder.apply({"params": text_params}, ids)
+    _text_encode = jax.jit(
+        lambda p, ids: models.text_encoder.apply({"params": p}, ids)
     )
+    text_encode = lambda ids: _text_encode(text_params, ids)
 
     # reward callbacks: the filter field + the VAE posterior for training
     callback_keys = [args.filter_field, "vae"]
