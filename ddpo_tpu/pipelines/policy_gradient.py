@@ -243,6 +243,11 @@ def main(argv=None):
     )
     train_uncond = jnp.asarray(sample_uncond[: train_bs])
 
+    assert args.filter_field in training.callback_fns, (
+        f"filter_field {args.filter_field!r} is not a registered reward "
+        f"(known: {sorted(training.callback_fns)}); unknown --dataset names "
+        "fall back to base defaults with filter_field=None"
+    )
     callback_fns = {
         args.filter_field: training.callback_fns[args.filter_field](
             vae=models.vae, vae_params=vae_params, cache=args.cache

@@ -190,6 +190,7 @@ class Parser:
         savepath = getattr(args, "savepath", None)
         if savepath is None or fs.is_remote(savepath):
             return
+        os.makedirs(savepath, exist_ok=True)  # savepath may lack a logbase
         payload = {
             k: v for k, v in args._dict.items()
             if isinstance(v, (str, int, float, bool, list, dict, tuple, type(None)))
