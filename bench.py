@@ -116,7 +116,8 @@ def main():
     device = jax.devices()[0]
     device_kind = getattr(device, "device_kind", str(device))
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # 8 = the reference's default per-device sample batch (config/base.py:77)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     res = int(os.environ.get("BENCH_RES", "512"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
