@@ -90,25 +90,26 @@ def from_diffusers_torch(state_dict: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
+# flax names ending in _<digit> that are literal module names in torch
+# (everything else — down_blocks_0, resnets_1, to_out_0, net_0, ... — is an
+# indexed list/ModuleList in the torch layout and splits back to ".<digit>")
+_LITERAL_UNDERSCORE_STEMS = ("linear",)  # time_embedding.linear_1/linear_2
+
+
 def to_diffusers_torch_key(path: Tuple[str, ...]) -> str:
     """Inverse of the segment mapping (for roundtrip tests / export)."""
     out = []
     for part in path[:-1]:
         if "_" in part and part.rsplit("_", 1)[-1].isdigit():
             stem, idx = part.rsplit("_", 1)
-            # to_out_0 is a literal HF name, not an indexed module list
-            if stem == "to_out" or stem == "net":
-                out.append(part if stem == "to_out" else part)
-                if stem == "net":
-                    out[-1] = part
-                continue
-            out.extend([stem, idx])
+            if stem in _LITERAL_UNDERSCORE_STEMS:
+                out.append(part)
+            else:
+                out.extend([stem, idx])
         else:
             out.append(part)
     leaf = path[-1]
-    if leaf == "scale" or leaf == "embedding":
-        leaf = "weight"
-    elif leaf == "kernel":
+    if leaf in ("scale", "embedding", "kernel"):
         leaf = "weight"
     return ".".join(out + [leaf])
 

@@ -12,10 +12,11 @@ the reference's attention lives in the diffusers dependency.
 Layout: q (B, Sq, H, D), k/v (B, Sk, H, D) -> out (B, Sq, H, D).
 Softmax is computed in float32 regardless of input dtype.
 
-The kernel is forward-only + custom_vjp: the backward pass re-derives
-gradients through the (mathematically identical) XLA implementation. This
-keeps training exact while sampling (the throughput-critical, grad-free path)
-uses the kernel.
+Training uses a full Pallas backward (dq and dk/dv kernels that recompute
+probability blocks from the forward's saved logsumexp) so the VJP never
+materializes (S, S) score matrices in HBM either; gradient parity vs the XLA
+implementation is tested at fp32 tolerance (tests/test_ops.py). On non-TPU
+backends the custom VJP falls back to differentiating the XLA reference.
 """
 
 from __future__ import annotations
@@ -54,11 +55,12 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, block_k):
     """One (batch, head, q_block) program: stream K/V blocks, online softmax.
 
     q_ref: (1, 1, block_q, d) | k_ref, v_ref: (1, 1, padded_kv, d).
     kv_len is the true (unpadded) key length; padded keys are masked.
+    Also writes the row logsumexp (for the Pallas backward).
     """
     q = q_ref[0, 0].astype(jnp.float32) * scale
     block_q, d = q.shape
@@ -90,22 +92,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
         )
         return m_new, l_new, acc
 
-    _, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
-    """One (B,S,H,D)->(B,H,S,D) transpose per operand (Mosaic wants the
-    block's trailing dim 128-divisible or equal to the full array dim, so D
-    must be the trailing array dim); no D padding in HBM — VMEM tiles pad
-    the 40/80/160 lanes internally."""
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-
+def _pick_blocks(q, block_q, block_k, sq, sk, d):
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
     # cap the p-buffer (block_q x block_k f32) + double-buffered K/V blocks
@@ -115,45 +111,229 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
         block_q * block_k * 4 + 4 * block_k * _round_up(d, 128) * itemsize
     ) > 13 * 2**20:
         block_k //= 2
+    return block_q, block_k
+
+
+def _fold(x, s_pad):
+    """(B, S, H, D) -> (B, H, S_pad, D)."""
+    if s_pad != x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0), (0, 0)))
+    return x.transpose(0, 2, 1, 3)
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k, interpret, with_lse=False):
+    """One (B,S,H,D)->(B,H,S,D) transpose per operand (Mosaic wants the
+    block's trailing dim 128-divisible or equal to the full array dim, so D
+    must be the trailing array dim); no D padding in HBM — VMEM tiles pad
+    the 40/80/160 lanes internally."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+
+    block_q, block_k = _pick_blocks(q, block_q, block_k, sq, sk, d)
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
-    def fold(x, s_pad):
-        if s_pad != x.shape[1]:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0), (0, 0)))
-        return x.transpose(0, 2, 1, 3)  # (B, H, S, D)
-
-    qf, kf, vf = fold(q, sq_pad), fold(k, sk_pad), fold(v, sk_pad)
+    qf, kf, vf = _fold(q, sq_pad), _fold(k, sk_pad), _fold(v, sk_pad)
 
     grid = (b, h, sq_pad // block_q)
     kernel = functools.partial(
         _flash_kernel, scale=scale, kv_len=sk, block_k=block_k
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ),
         interpret=interpret,
     )(qf, kf, vf)
 
-    out = out.transpose(0, 2, 1, 3)  # back to (B, S, H, D)
-    return out[:, :sq] if sq_pad != sq else out
+    outs = out.transpose(0, 2, 1, 3)  # back to (B, S, H, D)
+    outs = outs[:, :sq] if sq_pad != sq else outs
+    if with_lse:
+        return outs, lse  # lse stays in the folded (B, H, S_pad, 1) layout
+    return outs
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, kv_len, block_k,
+):
+    """dQ for one (batch, head, q_block): stream K/V, recompute P blocks.
+
+    dS = P * (dO V^T - delta); dQ = scale * dS K.
+    """
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (block_q, 1) f32
+    delta = delta_ref[0, 0]  # (block_q, 1) f32
+    block_q, d = q.shape
+    num_kv_blocks = k_ref.shape[2] // block_k
+
+    def body(i, dq):
+        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        key_ids = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), dimension=1
+        )
+        s = jnp.where(key_ids < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, num_kv_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, kv_len, block_q,
+):
+    """dK/dV for one (batch, head, kv_block): stream Q/dO blocks.
+
+    dV = sum_i P_i^T dO_i ; dK = scale * sum_i dS_i^T Q_i.
+    """
+    k_blk = k_ref[0, 0].astype(jnp.float32)
+    v_blk = v_ref[0, 0].astype(jnp.float32)
+    block_k, d = k_blk.shape
+    num_q_blocks = q_ref.shape[2] // block_q
+    kv_base = pl.program_id(2) * block_k
+    key_ids = kv_base + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), dimension=1
+    )
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_ids < kv_len, s, NEG_INF)
+        # padded q rows (q=0, do=0, lse=log(kv_len)) contribute zeros already
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_q_blocks, body,
+        (jnp.zeros((block_k, d), jnp.float32), jnp.zeros((block_k, d), jnp.float32)),
+    )
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k, interpret):
+    """Pallas dq/dk/dv. lse is in the folded (B, H, Sq_pad, 1) layout."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q, block_k = _pick_blocks(q, block_q, block_k, sq, sk, d)
+    # the dkv kernel holds full Q/dO plus a K/V block; keep q chunks modest
+    bwd_block_q = min(block_q, 512)
+    sq_pad = _round_up(sq, block_q)
+    if sq_pad % bwd_block_q:
+        bwd_block_q = block_q
+    sk_pad = _round_up(sk, block_k)
+
+    qf, dof = _fold(q, sq_pad), _fold(g, sq_pad)
+    kf, vf = _fold(k, sk_pad), _fold(v, sk_pad)
+    if lse.shape[2] < sq_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - lse.shape[2]), (0, 0)))
+    elif lse.shape[2] > sq_pad:
+        lse = lse[:, :, :sq_pad]
+
+    # delta_i = rowsum(dO_i * O_i): cheap elementwise+reduce, fused by XLA
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (B, Sq, H)
+    delta = delta.transpose(0, 2, 1)[..., None]  # (B, H, Sq, 1)
+    if sq_pad != sq:
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+
+    row_spec = lambda bi, hi, qi: (bi, hi, qi, 0)
+    full_q_spec = lambda bi, hi, ki: (bi, hi, 0, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, kv_len=sk, block_k=block_k
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        grid=(b, h, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), row_spec),
+            pl.BlockSpec((1, 1, sk_pad, d), full_q_spec),
+            pl.BlockSpec((1, 1, sk_pad, d), full_q_spec),
+            pl.BlockSpec((1, 1, block_q, d), row_spec),
+            pl.BlockSpec((1, 1, block_q, 1), row_spec),
+            pl.BlockSpec((1, 1, block_q, 1), row_spec),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), row_spec),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, kv_len=sk,
+            block_q=bwd_block_q,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, d), v.dtype),
+        ),
+        grid=(b, h, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq_pad, d), full_q_spec),
+            pl.BlockSpec((1, 1, block_k, d), row_spec),
+            pl.BlockSpec((1, 1, block_k, d), row_spec),
+            pl.BlockSpec((1, 1, sq_pad, d), full_q_spec),
+            pl.BlockSpec((1, 1, sq_pad, 1), full_q_spec),
+            pl.BlockSpec((1, 1, sq_pad, 1), full_q_spec),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), row_spec),
+            pl.BlockSpec((1, 1, block_k, d), row_spec),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    def unfold(x, s):
+        x = x.transpose(0, 2, 1, 3)
+        return x[:, :s] if x.shape[1] != s else x
+
+    return unfold(dq, sq), unfold(dk, sk), unfold(dv, sk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
     q, k, v, scale=None, block_q=512, block_k=4096, interpret=False
 ):
-    """Pallas flash attention. Forward on TPU/interpreter; exact-math custom
-    VJP through the XLA reference (recompute, no score materialization saved).
+    """Pallas flash attention with a Pallas backward (dq + dk/dv kernels
+    recomputing P blocks from the saved logsumexp), so neither direction
+    materializes scores in HBM. On non-Pallas backends (plain CPU) the VJP
+    differentiates the XLA reference instead.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -167,16 +347,21 @@ def flash_attention(
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = flash_attention(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _flash_forward(
+        q, k, v, scale, block_q, block_k, interpret, with_lse=True
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
+    return _flash_backward(
+        q, k, v, out, lse, g, scale, block_q, block_k, interpret
+    )
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

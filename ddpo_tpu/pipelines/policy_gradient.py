@@ -138,10 +138,22 @@ def main(argv=None):
     state = AccumulatingTrainState.create(
         apply_fn=train_unet_apply, params=params["unet"], tx=optimizer
     )
+    ckpt_root = args.savepath if not fs.is_remote(args.savepath) else localpath
     start_epoch = 0
+    restored_host = None
     if getattr(args, "resume", False):
+        if fs.is_remote(args.savepath) and not os.path.isdir(
+            os.path.join(ckpt_root, "checkpoints")
+        ):
+            # pod restart on a fresh host: pull checkpoints back from the bucket
+            n = fs.get_dir(
+                os.path.join(args.savepath, "checkpoints"),
+                os.path.join(ckpt_root, "checkpoints"),
+            )
+            if n:
+                print(f"[ pg ] fetched remote checkpoints from {args.savepath}")
         restored, step = restore_train_state(
-            args.savepath,
+            ckpt_root,
             target={
                 "state": jax.tree_util.tree_map(np.asarray, jax.device_get(state)),
                 "epoch": 0,
@@ -151,6 +163,7 @@ def main(argv=None):
         if restored is not None:
             state = restored["state"]
             start_epoch = int(restored["epoch"]) + 1
+            restored_host = restored.get("host")
             print(f"[ pg ] resumed from checkpoint at epoch {restored['epoch']}")
 
     state = jax.device_put(state, replicated(mesh))
@@ -264,6 +277,38 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     train_rng, sample_rng = jax.random.split(rng)
 
+    mean_rewards, std_rewards = [], []
+    if restored_host is not None:
+        # true resume: every stateful host object continues where it stopped
+        # (the checkpoint docstring's contract; the reference restarts cold)
+        import random as _py_random
+
+        train_rng = jnp.asarray(restored_host["train_rng"])
+        sample_rng = jnp.asarray(restored_host["sample_rng"])
+        mean_rewards = list(restored_host["mean_rewards"])
+        std_rewards = list(restored_host["std_rewards"])
+        if per_prompt_stats is not None and restored_host.get("per_prompt_stats"):
+            per_prompt_stats.load_state_dict(restored_host["per_prompt_stats"])
+        if restored_host.get("py_random") is not None:
+            _py_random.setstate(restored_host["py_random"])
+        if restored_host.get("np_random") is not None:
+            np.random.set_state(restored_host["np_random"])
+
+    def host_checkpoint_state():
+        import random as _py_random
+
+        return {
+            "train_rng": np.asarray(jax.device_get(train_rng)),
+            "sample_rng": np.asarray(jax.device_get(sample_rng)),
+            "mean_rewards": list(mean_rewards),
+            "std_rewards": list(std_rewards),
+            "per_prompt_stats": (
+                per_prompt_stats.state_dict() if per_prompt_stats else None
+            ),
+            "py_random": _py_random.getstate(),
+            "np_random": np.random.get_state(),
+        }
+
     cast_params = jax.jit(
         lambda p: jax.tree_util.tree_map(
             lambda x: x.astype(sample_dtype), p
@@ -272,7 +317,6 @@ def main(argv=None):
 
     profile_dir = getattr(args, "profile_dir", None)
 
-    mean_rewards, std_rewards = [], []
     timer = Timer()
     for epoch in range(start_epoch, args.num_train_epochs):
         if profile_dir and epoch == start_epoch + 1:
@@ -534,13 +578,14 @@ def main(argv=None):
         # ============================ checkpointing ============================ #
         if (epoch + 1) % args.save_freq == 0 or epoch == args.num_train_epochs - 1:
             save_train_state(
-                args.savepath if not fs.is_remote(args.savepath) else localpath,
+                ckpt_root,
                 epoch,
                 {
                     "state": jax.device_get(state),
                     "epoch": epoch,
                     "rng": jax.device_get(jax.random.key_data(sample_rng)),
                 },
+                host_state=host_checkpoint_state(),
             )
 
         if worker_id == 0:
@@ -548,6 +593,18 @@ def main(argv=None):
             with open(os.path.join(localpath, "reward_curve.json"), "w") as f:
                 json.dump({"mean": mean_rewards, "std": std_rewards}, f)
 
+        if fs.is_remote(args.savepath):
+            # durable artifacts: stream everything under localpath (npy/png/
+            # curves/checkpoints) to the bucket, asynchronously, process 0
+            # (reference async_to_bucket, utils/serialization.py:383-399)
+            from ddpo_tpu.utils.serialization import async_to_bucket
+
+            async_to_bucket(localpath, args.savepath)
+
+    if fs.is_remote(args.savepath):
+        from ddpo_tpu.utils.serialization import async_to_bucket
+
+        async_to_bucket(localpath, args.savepath, wait=True)  # final full sync
     return mean_rewards
 
 

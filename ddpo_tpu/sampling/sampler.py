@@ -137,7 +137,10 @@ def sample_trajectories_sharded(
     no collectives are needed — sampling is embarrassingly batch-parallel.
     Requires replicated params (tp=1).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local_sample(params, sched_state, local_prompts, local_uncond, key):

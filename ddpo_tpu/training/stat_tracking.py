@@ -43,3 +43,12 @@ class PerPromptStatTracker:
             k: {"mean": np.mean(v), "std": np.std(v), "count": len(v)}
             for k, v in self.stats.items()
         }
+
+    def state_dict(self) -> dict:
+        """Serializable buffer contents (checkpointed for true resume)."""
+        return {k: list(v) for k, v in self.stats.items()}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.stats = {
+            k: deque(v, maxlen=self.buffer_size) for k, v in state.items()
+        }

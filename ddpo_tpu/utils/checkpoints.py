@@ -27,11 +27,31 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(savepath: str, step: int, payload: Any) -> str:
-    """Write one full-state checkpoint under savepath/checkpoints/<step>."""
+def save_train_state(
+    savepath: str, step: int, payload: Any, host_state: Any = None,
+    all_workers: bool = False,
+) -> Optional[str]:
+    """Write one full-state checkpoint under savepath/checkpoints/<step>.
+
+    The train state is replicated across processes, so only process 0 writes
+    (unless all_workers) — concurrent writers to the same path on a shared
+    filesystem would collide. Reference parity: save_checkpoint_multiprocess
+    at pipeline/policy_gradient.py:457-464 (also effectively process-gated
+    for replicated params).
+
+    host_state, if given, is pickled next to the Orbax dir
+    (checkpoints/<step>_host.pkl): per-prompt stat buffers, reward-curve
+    history, host RNG states — everything a true resume needs beyond the
+    device state.
+    """
+    if jax.process_index() != 0 and not all_workers:
+        return None
     path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
     payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
     _checkpointer().save(path, payload, force=True)
+    if host_state is not None:
+        with open(f"{path}_host.pkl", "wb") as f:
+            pickle.dump(host_state, f)
     return path
 
 
@@ -44,7 +64,9 @@ def latest_checkpoint_step(savepath: str) -> Optional[int]:
 
 
 def restore_train_state(savepath: str, step: Optional[int] = None, target: Any = None):
-    """Restore the newest (or given) checkpoint; returns None if absent."""
+    """Restore the newest (or given) checkpoint; returns (None, None) if
+    absent. If a <step>_host.pkl exists its contents are merged into the
+    restored dict under the "host" key."""
     if step is None:
         step = latest_checkpoint_step(savepath)
         if step is None:
@@ -58,6 +80,10 @@ def restore_train_state(savepath: str, step: Optional[int] = None, target: Any =
         )
     else:
         restored = _checkpointer().restore(path)
+    host_path = f"{path}_host.pkl"
+    if os.path.exists(host_path):
+        with open(host_path, "rb") as f:
+            restored = dict(restored, host=pickle.load(f))
     return restored, step
 
 

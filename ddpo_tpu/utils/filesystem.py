@@ -2,7 +2,13 @@
 
 Same surface as the reference's ddpo/utils/filesystem.py (open/ls/exists/
 save/unpickle/rm/save_json/read_json/get_bucket/join_and_create), with gcsfs
-imported lazily so local-only runs work without GCS credentials.
+imported lazily so local-only runs work without GCS credentials, plus
+recursive put_dir/get_dir used by the per-epoch artifact sync
+(reference async_to_bucket, utils/serialization.py:383-399).
+
+Set DDPO_TPU_FAKE_GCS=<dir> to map gs:// paths onto a local directory — the
+zero-egress test environment's way of exercising every remote code path
+(artifact sync, remote checkpoints, RemoteWriter uploads) end-to-end.
 """
 
 from __future__ import annotations
@@ -14,6 +20,14 @@ import re
 import shutil
 
 builtin_open = open
+
+
+def _fake_root() -> str | None:
+    return os.environ.get("DDPO_TPU_FAKE_GCS") or None
+
+
+def _fake_path(path: str) -> str:
+    return os.path.join(_fake_root(), path.split("gs://", 1)[1])
 
 
 def _gcs():
@@ -31,6 +45,11 @@ def open(path: str, bucket: str | None = None, mode: str = "rb"):
         bucket = bucket if bucket.startswith("gs://") else "gs://" + bucket
         path = os.path.join(bucket, path)
     if is_remote(path):
+        if _fake_root():
+            local = _fake_path(path)
+            if "w" in mode or "a" in mode:
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+            return builtin_open(local, mode=mode)
         return _gcs().open(path, mode=mode)
     return builtin_open(path, mode=mode)
 
@@ -40,6 +59,8 @@ def ls(path: str, bucket: str | None = None, strip: bool = True):
         bucket = bucket if bucket.startswith("gs://") else "gs://" + bucket
         path = os.path.join(bucket, path)
     if is_remote(path):
+        if _fake_root():
+            return sorted(os.listdir(_fake_path(path)))
         paths = sorted(_gcs().ls(path))
         if strip:
             paths = ["/".join(p.split("/")[1:]) for p in paths]
@@ -49,8 +70,72 @@ def ls(path: str, bucket: str | None = None, strip: bool = True):
 
 def exists(path: str) -> bool:
     if is_remote(path):
+        if _fake_root():
+            return os.path.exists(_fake_path(path))
         return _gcs().exists(path)
     return os.path.exists(path)
+
+
+def put_file(local: str, remote: str) -> None:
+    """Upload one local file to a remote (or fake-remote) path."""
+    if _fake_root() or not is_remote(remote):
+        dest = _fake_path(remote) if is_remote(remote) else remote
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copy2(local, dest)
+        return
+    _gcs().put(local, remote)
+
+
+def put_dir(local: str, remote: str, only_newer: bool = True) -> int:
+    """Recursively upload local -> remote; returns the file count copied.
+
+    only_newer skips files whose remote copy is at least as new (cheap
+    incremental sync, the gsutil-rsync equivalent of the reference's
+    async_to_bucket).
+    """
+    copied = 0
+    mtimes: dict[str, float] = {}
+    if only_newer:
+        if _fake_root() or not is_remote(remote):
+            base = _fake_path(remote) if is_remote(remote) else remote
+            for root, _, files in os.walk(base):
+                for f in files:
+                    p = os.path.join(root, f)
+                    mtimes[os.path.relpath(p, base)] = os.path.getmtime(p)
+        # real GCS: stat per file is slow; upload unconditionally
+
+    for root, _, files in os.walk(local):
+        for f in files:
+            src = os.path.join(root, f)
+            rel = os.path.relpath(src, local)
+            if rel in mtimes and os.path.getmtime(src) <= mtimes[rel]:
+                continue
+            put_file(src, os.path.join(remote, rel))
+            copied += 1
+    return copied
+
+
+def get_dir(remote: str, local: str) -> int:
+    """Recursively download remote -> local; returns the file count."""
+    copied = 0
+    if _fake_root() or not is_remote(remote):
+        base = _fake_path(remote) if is_remote(remote) else remote
+        if not os.path.isdir(base):
+            return 0
+        for root, _, files in os.walk(base):
+            for f in files:
+                src = os.path.join(root, f)
+                rel = os.path.relpath(src, base)
+                dest = os.path.join(local, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.copy2(src, dest)
+                copied += 1
+        return copied
+    gcs = _gcs()
+    if not gcs.exists(remote):
+        return 0
+    gcs.get(remote, local, recursive=True)
+    return 1
 
 
 def save(path: str, x) -> None:

@@ -178,8 +178,10 @@ class Parser:
         try:
             import jax
 
+            # jax rejects relative cache dirs with a warning; anchor to cwd
             jax.config.update(
-                "jax_compilation_cache_dir", os.path.join(cache, "xla")
+                "jax_compilation_cache_dir",
+                os.path.abspath(os.path.join(cache, "xla")),
             )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception:

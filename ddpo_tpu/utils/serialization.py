@@ -31,7 +31,7 @@ from ddpo_tpu.models import (
     CLIPTextModel,
     UNet2DCondition,
 )
-from ddpo_tpu.models.tokenizer import get_tokenizer
+from ddpo_tpu.models.tokenizer import get_tokenizer, warn_if_fallback
 from ddpo_tpu.utils import filesystem as fs
 from ddpo_tpu.utils.checkpoints import load_unet_pickle
 
@@ -125,8 +125,11 @@ def load_stable_diffusion(
         text_encoder = CLIPTextModel(dtype=activation_dtype)
         vae = AutoencoderKL(dtype=activation_dtype)
         unet = UNet2DCondition(dtype=activation_dtype)
+    tokenizer = get_tokenizer(pretrained_model)
+    if model_preset != "tiny":  # tiny preset is a systems fixture by design
+        warn_if_fallback(tokenizer, "serialization")
     models = StableModels(
-        tokenizer=get_tokenizer(pretrained_model),
+        tokenizer=tokenizer,
         text_encoder=text_encoder,
         vae=vae,
         unet=unet,
@@ -214,3 +217,32 @@ def save_stable_diffusion_export(savepath: str, params: dict) -> str:
         with open(os.path.join(subdir, fname[sub]), "wb") as f:
             f.write(msgpack_serialize(tree))
     return savepath
+
+
+def sync_to_bucket(localpath: str, savepath: str) -> int:
+    """Synchronous artifact sync localpath -> savepath (local or gs://).
+
+    Reference parity: utils/serialization.py:374-381 (gcsfs variant of the
+    gsutil rsync). Incremental: skips files whose destination copy is newer.
+    """
+    return fs.put_dir(localpath, savepath)
+
+
+def async_to_bucket(localpath: str, savepath: str, wait: bool = False):
+    """Fire-and-forget artifact sync, process 0 only (reference
+    utils/serialization.py:383-399: async gsutil -m rsync subprocess).
+
+    Returns the sync thread (or None on non-zero processes) so drivers/tests
+    can join it before exit.
+    """
+    import threading
+
+    if jax.process_index() != 0:
+        return None
+    thread = threading.Thread(
+        target=sync_to_bucket, args=(localpath, savepath), daemon=True
+    )
+    thread.start()
+    if wait:
+        thread.join()
+    return thread

@@ -23,8 +23,43 @@ if os.environ.get("DDPO_TPU_TEST_BACKEND", "cpu") == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache across test runs: the heavyweight tests (tiny-stack
+# pipeline runs, dp-equivalence, the multichip dryrun) spend most of their
+# wall time in XLA compilation of identical programs.
+import jax as _jax  # noqa: E402
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np
 import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (>60s end-to-end paths)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >60s end-to-end test, deselected by default (--slow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

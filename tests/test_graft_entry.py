@@ -7,6 +7,7 @@ import os
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
+import pytest
 
 
 def test_entry_shapes():
@@ -17,6 +18,7 @@ def test_entry_shapes():
     assert out.shape == (2, 4, 64, 64)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

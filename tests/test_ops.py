@@ -45,6 +45,38 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "b,sq,sk,h,d",
+    [
+        (2, 256, 256, 2, 40),    # SD latent head dim, multiple kv blocks
+        (1, 200, 130, 3, 16),    # ragged: both dims padded
+        (2, 128, 384, 1, 64),    # cross-shape
+    ],
+)
+def test_flash_pallas_backward_matches_xla(b, sq, sk, h, d):
+    """dq/dk/dv from the Pallas backward kernels (interpret mode) vs XLA
+    autodiff, with a non-trivial cotangent."""
+    keys = jax.random.split(jax.random.PRNGKey(42), 4)
+    q = jax.random.normal(keys[0], (b, sq, h, d))
+    k = jax.random.normal(keys[1], (b, sk, h, d))
+    v = jax.random.normal(keys[2], (b, sk, h, d))
+    g = jax.random.normal(keys[3], (b, sq, h, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, 128, 128, True) * g)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * g)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_attention_dispatch_cpu_uses_xla():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 2, 16))
     out = attention(q, q, q)

@@ -82,6 +82,7 @@ def tiny_setup():
     return model, params, unet_apply, scheduler, sched_state, batch
 
 
+@pytest.mark.slow
 def test_dp_training_matches_single_device(tiny_setup):
     """The reference's explicit pmean all-reduce is implicit under GSPMD:
     a dp=8-sharded step must produce the same update as unsharded."""

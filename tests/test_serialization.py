@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
@@ -21,6 +22,7 @@ from ddpo_tpu.utils.serialization import (
 )
 
 
+@pytest.mark.slow
 def test_tiny_stack_loads_and_runs():
     models, params = load_stable_diffusion(model_preset="tiny", seed=0)
     ids = models.tokenizer(["a peacock", "a dog"])
