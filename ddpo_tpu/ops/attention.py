@@ -367,6 +367,18 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# Process-wide dispatch override. GSPMD cannot partition pallas_call
+# operands, so drivers running tensor parallelism through plain jit force
+# the XLA path (set_flash_enabled(False)); None = automatic dispatch.
+_FLASH_OVERRIDE: Optional[bool] = None
+
+
+def set_flash_enabled(value: Optional[bool]) -> None:
+    """Force (True/False) or restore automatic (None) flash dispatch."""
+    global _FLASH_OVERRIDE
+    _FLASH_OVERRIDE = value
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -378,11 +390,21 @@ def attention(
 
     use_flash=None -> auto: Pallas kernel on TPU backends for all UNet
     self-attention levels (measured faster at every S>=256 on v5e, see
-    bench_ops.py), XLA elsewhere (CPU tests, 77-token cross-attention).
+    bench_ops.py), XLA elsewhere (CPU tests, 77-token cross-attention,
+    tensor-parallel runs — see set_flash_enabled).
     """
     if use_flash is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
+        import os
+
+        if os.environ.get("DDPO_FLASH_CROSS", "0") == "1":
+            # short-KV (77-token cross-attention) also through the kernel:
+            # XLA materializes the (Sq, 77) probabilities in HBM (fp32)
+            use_flash = on_tpu and q.shape[1] >= 256
+        else:
+            use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
+        if _FLASH_OVERRIDE is not None:
+            use_flash = use_flash and _FLASH_OVERRIDE
     if use_flash:
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)

@@ -67,3 +67,22 @@ def shard_params(mesh: Mesh, params):
     """Place a host-resident param tree onto the mesh per the TP rules."""
     shardings = param_shardings(mesh, params)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def place_train_state(mesh: Mesh, state):
+    """Place a full train state onto the mesh: params, grad-accumulation
+    buffer, and optimizer moments follow the TP rules (their pytree paths end
+    with the same param-path suffixes the rules match on); everything else —
+    step counters, schedule state, factored adafactor statistics whose rank
+    no longer fits the spec — replicates. With tp=1 every leaf replicates,
+    which is the reference-equivalent configuration.
+    """
+
+    def place(path, x):
+        ndim = getattr(x, "ndim", 0)
+        spec = unet_partition_rules(_path_str(path), ndim)
+        if len(spec) > ndim:  # factored/reduced leaf (e.g. adafactor v_row)
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)

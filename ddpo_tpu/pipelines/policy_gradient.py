@@ -166,7 +166,20 @@ def main(argv=None):
             restored_host = restored.get("host")
             print(f"[ pg ] resumed from checkpoint at epoch {restored['epoch']}")
 
-    state = jax.device_put(state, replicated(mesh))
+    from ddpo_tpu.parallel.sharding import place_train_state
+
+    if mesh.shape["tp"] > 1:
+        # GSPMD cannot partition pallas_call operands: route every attention
+        # through the XLA path so jit can shard the tp axis end-to-end
+        from ddpo_tpu.ops import set_flash_enabled
+
+        set_flash_enabled(False)
+        print(
+            "[ pg ] tp>1: attention dispatched to the XLA path "
+            "(GSPMD-partitionable); params tp-sharded per parallel/sharding.py"
+        )
+    # tp>1: params/opt-state/grad-acc shard over tp; tp=1: full replication
+    state = place_train_state(mesh, state)
     sched_state = jax.device_put(sched_state, replicated(mesh))
     vae_params = jax.device_put(params["vae"], replicated(mesh))
     text_params = jax.device_put(params["text_encoder"], replicated(mesh))

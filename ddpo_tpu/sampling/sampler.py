@@ -139,8 +139,12 @@ def sample_trajectories_sharded(
     """
     try:
         from jax import shard_map  # jax >= 0.8
+
+        check_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
+
+        check_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
     def local_sample(params, sched_state, local_prompts, local_uncond, key):
@@ -155,6 +159,6 @@ def sample_trajectories_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp"), P()),
         out_specs=P("dp"),
-        check_rep=False,
+        **check_kwargs,
     )
     return sharded(unet_params, scheduler_state, prompt_embeds, uncond_embeds, key)

@@ -82,3 +82,27 @@ def test_rwr_chain(workdir):
                   "--savepath", "samples/1"]
     )
     assert n2 >= 1
+
+
+@pytest.mark.slow
+def test_policy_gradient_driver_tp2(workdir):
+    """--mesh_tp 2 completes sample+train on the virtual 8-device mesh with
+    tp-sharded params (VERDICT round-1 item 8). The on-policy invariant
+    (first-epoch approx_kl ~ 0: recomputed log-probs equal sampling-time
+    log-probs under the same params) holds independently of how the batch
+    was sharded, so it is the tp-correctness signal."""
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "1",
+                  "--train_batch_size", "1", "--save_freq", "1",
+                  "--mesh_tp", "2"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+    logdir = workdir / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    infos = [
+        np.load(f, allow_pickle=True).item()
+        for f in sorted((logdir / "train_info").iterdir())
+    ]
+    kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
+    assert kl < 1e-6, f"tp=2 run broke the on-policy invariant: kl={kl}"
