@@ -251,6 +251,16 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k, interpret):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q, block_k = _pick_blocks(q, block_q, block_k, sq, sk, d)
+    # The backward kernels hold three (block_q, block_k) f32 buffers
+    # (p, dp, ds) plus f32 casts of the K/V blocks — the forward's block_k
+    # budget OOMs scoped VMEM at S=4096 (21.8M vs the 16M limit, measured
+    # on v5e at the 512px training shape). Shrink block_k until the stack
+    # fits in ~9MB, leaving room for q/do/dq rows and accumulators.
+    d_pad = _round_up(d, 128)
+    while block_k > 128 and (
+        3 * block_q * block_k * 4 + 2 * block_k * d_pad * 4
+    ) > 9 * 2**20:
+        block_k //= 2
     # the dkv kernel holds full Q/dO plus a K/V block; keep q chunks modest
     bwd_block_q = min(block_q, 512)
     sq_pad = _round_up(sq, block_q)

@@ -82,6 +82,7 @@ def test_rwr_train_step_decreases_loss(rwr_setup):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+@pytest.mark.slow
 def test_rwr_weighted_matches_uniform_when_weights_equal(rwr_setup):
     state, text_apply, text_params, batch, scheduler, sched_state = rwr_setup
     kwargs = dict(

@@ -152,6 +152,7 @@ def test_ratio_is_one_at_sampling_params(setup):
         np.testing.assert_allclose(float(info["loss"]), -1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_large_batch(setup):
     """Two accumulated half-batches == one full batch update."""
     scheduler = setup["scheduler"]
@@ -260,6 +261,7 @@ def test_policy_gradient_improves_objective(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_resident_inner_epoch(setup):
     """The one-program inner epoch runs, updates n_batches times, and its
     per-minibatch info matches the semantics of the host-loop path (ratio 1
