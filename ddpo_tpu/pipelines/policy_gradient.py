@@ -226,8 +226,12 @@ def main(argv=None):
 
     resident = getattr(args, "resident_inner_loop", False)
     if resident:
-        assert args.train_accumulation_steps == 1, (
-            "resident_inner_loop applies one optimizer update per minibatch"
+        n_batches_resident = (
+            args.sample_batch_size * args.num_sample_batches_per_epoch
+        ) // train_bs
+        assert n_batches_resident % args.train_accumulation_steps == 0, (
+            f"resident_inner_loop: {n_batches_resident} minibatches/epoch not "
+            f"divisible by train_accumulation_steps={args.train_accumulation_steps}"
         )
         jit_inner_epoch = jax.jit(
             functools.partial(
@@ -239,6 +243,7 @@ def main(argv=None):
                 guidance_scale=args.guidance_scale,
                 eta=args.eta,
                 clip_range=args.ppo_clip_range,
+                accumulation_steps=args.train_accumulation_steps,
             ),
             donate_argnums=(0,),
         )
@@ -478,6 +483,11 @@ def main(argv=None):
                 )
                 infos = jax.tree_util.tree_map(
                     lambda x: np.asarray(jax.device_get(x)), infos_dev
+                )
+                # same cross-process divergence check as the host loop
+                # (reference pipeline/policy_gradient.py:442)
+                all_processes_equal(
+                    {k: v.mean() for k, v in infos.items()}, "train infos"
                 )
                 print(
                     f"[ pg ] epoch {epoch}.{inner_epoch} (resident): "

@@ -211,6 +211,7 @@ def inner_epoch_resident(
     guidance_scale: float,
     eta: float,
     clip_range: float,
+    accumulation_steps: int = 1,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """One full PPO inner epoch as a single on-device program.
 
@@ -225,6 +226,12 @@ def inner_epoch_resident(
         minibatches, scanning timesteps inside (grads averaged over
         timesteps, optimizer applied once per minibatch — equivalent to the
         reference's accumulate-then-update at the last timestep).
+      - gradient accumulation (accumulation_steps > 1): minibatches are
+        grouped (n_groups, accumulation_steps); the first A-1 of each group
+        run the statically-compiled accumulate-only branch, the last applies
+        the update — the same two-program structure as the host loop
+        (reference pipeline/policy_gradient.py:426-441), expressed as a
+        nested scan so do_opt_update stays a static bool.
 
     samples keys: latents/next_latents (B, T, 4, h, w), ts/log_probs (B, T),
     advantages (B,), embeds (B, 77, D), uncond_embeds (B, 77, D).
@@ -250,21 +257,54 @@ def inner_epoch_resident(
 
     batched = {k: rebatch(v) for k, v in shuffled.items()}
 
-    def per_minibatch(state, mb):
-        fused = {
-            "latents": jnp.swapaxes(mb["latents"][:, :num_train_ts], 0, 1),
-            "next_latents": jnp.swapaxes(mb["next_latents"][:, :num_train_ts], 0, 1),
-            "ts": jnp.swapaxes(mb["ts"][:, :num_train_ts], 0, 1),
-            "log_probs": jnp.swapaxes(mb["log_probs"][:, :num_train_ts], 0, 1),
-            "advantages": mb["advantages"],
-            "prompt_embeds": mb["embeds"],
-            "uncond_embeds": mb["uncond_embeds"],
-        }
-        state, info = train_step_fused(
-            state, fused, scheduler_state, scheduler, train_cfg,
-            guidance_scale, eta, clip_range, do_opt_update=True,
-        )
-        return state, info
+    def make_minibatch_step(do_opt_update: bool):
+        def per_minibatch(state, mb):
+            fused = {
+                "latents": jnp.swapaxes(mb["latents"][:, :num_train_ts], 0, 1),
+                "next_latents": jnp.swapaxes(
+                    mb["next_latents"][:, :num_train_ts], 0, 1
+                ),
+                "ts": jnp.swapaxes(mb["ts"][:, :num_train_ts], 0, 1),
+                "log_probs": jnp.swapaxes(mb["log_probs"][:, :num_train_ts], 0, 1),
+                "advantages": mb["advantages"],
+                "prompt_embeds": mb["embeds"],
+                "uncond_embeds": mb["uncond_embeds"],
+            }
+            state, info = train_step_fused(
+                state, fused, scheduler_state, scheduler, train_cfg,
+                guidance_scale, eta, clip_range, do_opt_update=do_opt_update,
+            )
+            return state, info
 
-    state, infos = jax.lax.scan(per_minibatch, state, batched)
-    return state, infos  # infos: (n_batches,) per metric
+        return per_minibatch
+
+    if accumulation_steps <= 1:
+        state, infos = jax.lax.scan(make_minibatch_step(True), state, batched)
+        return state, infos  # infos: (n_batches,) per metric
+
+    assert n_batches % accumulation_steps == 0, (
+        f"n_batches {n_batches} not divisible by accumulation_steps "
+        f"{accumulation_steps}"
+    )
+    grouped = {
+        k: v.reshape(-1, accumulation_steps, *v.shape[1:])
+        for k, v in batched.items()
+    }
+
+    def per_group(state, grp):
+        head = {k: v[:-1] for k, v in grp.items()}
+        tail = {k: v[-1] for k, v in grp.items()}
+        state, infos_head = jax.lax.scan(make_minibatch_step(False), state, head)
+        state, info_tail = make_minibatch_step(True)(state, tail)
+        infos = jax.tree_util.tree_map(
+            lambda h, t: jnp.concatenate([h, t[None]], axis=0),
+            infos_head, info_tail,
+        )
+        return state, infos
+
+    state, infos = jax.lax.scan(per_group, state, grouped)
+    # (n_groups, accumulation_steps) -> (n_batches,) per metric
+    infos = jax.tree_util.tree_map(
+        lambda x: x.reshape(n_batches, *x.shape[2:]), infos
+    )
+    return state, infos

@@ -300,3 +300,51 @@ def test_resident_inner_epoch(setup):
     # on-policy: the shuffled/rebatched log-probs must still reproduce
     assert float(jnp.max(infos["approx_kl"])) < 1e-6
     np.testing.assert_allclose(np.asarray(infos["loss"]), -1.0, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_resident_accumulation_matches_larger_batch(setup):
+    """resident(bs=2, accumulation=2) == resident(bs=4, accumulation=1):
+    averaging two accumulated minibatch gradients then updating once is the
+    same computation as one update over the combined batch (the shuffle and
+    timestep permutations are identical under the same rng)."""
+    from ddpo_tpu.training.policy_gradient import inner_epoch_resident
+
+    scheduler = setup["scheduler"]
+    sched_state = scheduler.set_timesteps(setup["sched_state"], T_STEPS)
+    traj = setup["traj"]
+    samples = {
+        "latents": traj["latents"],
+        "next_latents": traj["next_latents"],
+        "ts": traj["ts"],
+        "log_probs": traj["log_probs"],
+        "advantages": jnp.linspace(-1.0, 1.0, BATCH),
+        "embeds": setup["prompt_embeds"],
+        "uncond_embeds": setup["uncond_embeds"],
+    }
+    common = dict(
+        scheduler=scheduler, num_train_ts=T_STEPS, train_cfg=True,
+        guidance_scale=5.0, eta=1.0, clip_range=1e-4,
+    )
+    rng = jax.random.PRNGKey(3)
+
+    run_acc = jax.jit(functools.partial(
+        inner_epoch_resident, train_batch_size=2, accumulation_steps=2,
+        **common,
+    ))
+    state_acc, infos_acc = run_acc(_make_state(setup), samples, sched_state, rng)
+
+    run_big = jax.jit(functools.partial(
+        inner_epoch_resident, train_batch_size=4, accumulation_steps=1,
+        **common,
+    ))
+    state_big, _ = run_big(_make_state(setup), samples, sched_state, rng)
+
+    assert int(state_acc.step) == int(state_big.step) == 1
+    assert infos_acc["loss"].shape == (2,)  # per-minibatch infos preserved
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        state_acc.params, state_big.params,
+    )
