@@ -92,6 +92,9 @@ def main():
         scheduler=scheduler, train_cfg=True, guidance_scale=5.0, eta=1.0,
         clip_range=1e-4,
     )
+    # reference semantics: two B-batch CFG applies at train time
+    # (reference training/policy_gradient.py:86-107); ours: one 2B concat
+    # apply (identical math, bigger matmuls — see ppo_loss docstring)
 
     def sync(state):
         jax.device_get(np.asarray(state.step))
@@ -106,7 +109,7 @@ def main():
 
     # reference-style: one dispatch per timestep slice, fp32
     ref_step = jax.jit(
-        functools.partial(train_step, **kwargs),
+        functools.partial(train_step, cfg_concat=False, **kwargs),
         static_argnames=("do_opt_update",),
         donate_argnums=(0,),
     )
@@ -139,7 +142,9 @@ def main():
 
     # fused: one dispatch for all timesteps, bf16 activations
     fused_step = jax.jit(
-        functools.partial(train_step_fused, do_opt_update=True, **kwargs),
+        functools.partial(
+            train_step_fused, do_opt_update=True, cfg_concat=True, **kwargs
+        ),
         donate_argnums=(0,),
     )
 

@@ -251,16 +251,24 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k, interpret):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q, block_k = _pick_blocks(q, block_q, block_k, sq, sk, d)
-    # The backward kernels hold three (block_q, block_k) f32 buffers
-    # (p, dp, ds) plus f32 casts of the K/V blocks — the forward's block_k
-    # budget OOMs scoped VMEM at S=4096 (21.8M vs the 16M limit, measured
-    # on v5e at the 512px training shape). Shrink block_k until the stack
-    # fits in ~9MB, leaving room for q/do/dq rows and accumulators.
+    # The backward kernels keep up to ~6 (block_q, block_k) f32 buffers
+    # live at once (s, p, dp, ds, the key-id iota mask, and scheduling
+    # slack) plus f32 casts of the K/V blocks and the double-buffered
+    # full-sequence refs. With the forward's block_k the stack exceeds the
+    # default 16M scoped-VMEM guard at S=4096 (21.8M bf16 / 17.8M fp32,
+    # measured on v5e at the 512px training shape), so (a) cap block_k so
+    # the modeled stack stays ~24M and (b) lift the scoped guard to 64M —
+    # v5e has 128M VMEM and the measured stack at block_k=1024 is ~18M.
     d_pad = _round_up(d, 128)
     while block_k > 128 and (
-        3 * block_q * block_k * 4 + 2 * block_k * d_pad * 4
-    ) > 9 * 2**20:
+        6 * block_q * block_k * 4 + 2 * block_k * d_pad * 4
+    ) > 24 * 2**20:
         block_k //= 2
+    bwd_params = {}
+    if pltpu is not None and not interpret:
+        bwd_params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        )
     # the dkv kernel holds full Q/dO plus a K/V block; keep q chunks modest
     bwd_block_q = min(block_q, 512)
     sq_pad = _round_up(sq, block_q)
@@ -302,6 +310,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k, interpret):
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), row_spec),
         interpret=interpret,
+        **bwd_params,
     )(qf, kf, vf, dof, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -327,6 +336,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, block_k, d), row_spec),
         ),
         interpret=interpret,
+        **bwd_params,
     )(qf, kf, vf, dof, lse, delta)
 
     def unfold(x, s):
@@ -356,19 +366,38 @@ def flash_attention(
 # scoped VMEM (p-buffer is block_q x block_k f32). See bench_ops.py.
 
 
+def _use_pallas_bwd(q, interpret) -> bool:
+    """Pallas backward for bf16 training (1.5x the fp32 per-timestep
+    baseline, bench_train.py) and for interpret-mode parity tests. fp32
+    training keeps the XLA-recompute VJP: pinning fp32 (q, k, v, out, lse)
+    residuals for every attention under whole-model rematerialization
+    exceeds 16GB HBM at the 512px CFG train shape (RESOURCE_EXHAUSTED
+    measured on v5e; the reference's own fp32 config needed 32GB v4 chips).
+    """
+    return interpret or q.dtype == jnp.bfloat16
+
+
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    out, lse = _flash_forward(
-        q, k, v, scale, block_q, block_k, interpret, with_lse=True
-    )
-    return out, (q, k, v, out, lse)
+    if _use_pallas_bwd(q, interpret):
+        out, lse = _flash_forward(
+            q, k, v, scale, block_q, block_k, interpret, with_lse=True
+        )
+        return out, (q, k, v, out, lse)
+    out = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, None, None)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     q, k, v, out, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if out is None:  # fp32 on hardware: differentiate the XLA reference
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: xla_attention(q_, k_, v_, scale), q, k, v
+        )
+        return vjp(g)
     return _flash_backward(
         q, k, v, out, lse, g, scale, block_q, block_k, interpret
     )

@@ -133,6 +133,11 @@ def main(argv=None):
         # 512px does not fit a 16GB chip without it
         train_unet_apply = jax.checkpoint(train_unet_apply)
 
+    # CFG as one 2B-batch apply for bf16 training (1.29x the two-apply step
+    # on v5e); fp32 keeps the reference's two-apply form, which is faster
+    # under whole-model remat at fp32 (see training/policy_gradient.ppo_loss)
+    cfg_concat = args.dtype == "bfloat16"
+
     # ------------------------------- train state ------------------------------ #
     optimizer = build_optimizer(args)
     state = AccumulatingTrainState.create(
@@ -244,6 +249,7 @@ def main(argv=None):
                 eta=args.eta,
                 clip_range=args.ppo_clip_range,
                 accumulation_steps=args.train_accumulation_steps,
+                cfg_concat=cfg_concat,
             ),
             donate_argnums=(0,),
         )
@@ -261,6 +267,7 @@ def main(argv=None):
             guidance_scale=args.guidance_scale,
             eta=args.eta,
             clip_range=args.ppo_clip_range,
+            cfg_concat=cfg_concat,
         ),
         static_argnames=("do_opt_update",),
         donate_argnums=(0,),

@@ -81,20 +81,43 @@ def ppo_loss(
     guidance_scale: float,
     eta: float,
     clip_range: float,
+    cfg_concat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Clipped-surrogate loss for one (batch, timestep) slice.
 
     batch keys: latents (B,4,h,w), next_latents, ts (B,), log_probs (B,),
     advantages (B,), prompt_embeds (B,77,D), uncond_embeds (B,77,D).
+
+    cfg_concat runs CFG as one 2B-batch apply instead of the reference's two
+    B-batch applies (training/policy_gradient.py:86-107) — the UNet is
+    pointwise across batch (GN/LN/attention stats are per-sample), so the
+    math is identical while matching the sampler's concat compute pattern.
+    Measured on v5e at 512px (BENCHLOG.md): 1.29x for the bf16 fused step
+    (121.8 -> 94.6 ms per sample-timestep), but SLOWER for fp32 under
+    whole-model remat (175 -> 211 ms: the 2B fp32 recompute spills), so the
+    driver enables it for bf16 training only.
     """
-    eps_text = apply_fn(params, batch["latents"], batch["ts"], batch["prompt_embeds"])
-    if train_cfg:
+    if train_cfg and cfg_concat:
+        eps = apply_fn(
+            params,
+            jnp.concatenate([batch["latents"], batch["latents"]]),
+            jnp.concatenate([batch["ts"], batch["ts"]]),
+            jnp.concatenate([batch["uncond_embeds"], batch["prompt_embeds"]]),
+        )
+        eps_uncond, eps_text = jnp.split(eps, 2)
+        noise_pred = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+    elif train_cfg:
+        eps_text = apply_fn(
+            params, batch["latents"], batch["ts"], batch["prompt_embeds"]
+        )
         eps_uncond = apply_fn(
             params, batch["latents"], batch["ts"], batch["uncond_embeds"]
         )
         noise_pred = eps_uncond + guidance_scale * (eps_text - eps_uncond)
     else:
-        noise_pred = eps_text
+        noise_pred = apply_fn(
+            params, batch["latents"], batch["ts"], batch["prompt_embeds"]
+        )
 
     _, log_prob = scheduler.step(
         scheduler_state,
@@ -130,13 +153,14 @@ def train_step(
     eta: float,
     clip_range: float,
     do_opt_update: bool,
+    cfg_concat: bool = False,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """One PPO update/accumulation step. Jit with scheduler/flags static."""
 
     def compute_loss(params):
         return ppo_loss(
             params, state.apply_fn, batch, scheduler, scheduler_state,
-            train_cfg, guidance_scale, eta, clip_range,
+            train_cfg, guidance_scale, eta, clip_range, cfg_concat,
         )
 
     grads, info = jax.grad(compute_loss, has_aux=True)(state.params)
@@ -154,6 +178,7 @@ def train_step_fused(
     eta: float,
     clip_range: float,
     do_opt_update: bool,
+    cfg_concat: bool = False,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """Scan over the timestep axis on device: one dispatch per trajectory.
 
@@ -177,7 +202,7 @@ def train_step_fused(
         def compute_loss(params):
             return ppo_loss(
                 params, state.apply_fn, full, scheduler, scheduler_state,
-                train_cfg, guidance_scale, eta, clip_range,
+                train_cfg, guidance_scale, eta, clip_range, cfg_concat,
             )
 
         grads, info = jax.grad(compute_loss, has_aux=True)(state.params)
@@ -212,6 +237,7 @@ def inner_epoch_resident(
     eta: float,
     clip_range: float,
     accumulation_steps: int = 1,
+    cfg_concat: bool = False,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """One full PPO inner epoch as a single on-device program.
 
@@ -273,6 +299,7 @@ def inner_epoch_resident(
             state, info = train_step_fused(
                 state, fused, scheduler_state, scheduler, train_cfg,
                 guidance_scale, eta, clip_range, do_opt_update=do_opt_update,
+                cfg_concat=cfg_concat,
             )
             return state, info
 

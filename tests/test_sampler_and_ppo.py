@@ -348,3 +348,31 @@ def test_resident_accumulation_matches_larger_batch(setup):
         ),
         state_acc.params, state_big.params,
     )
+
+
+def test_cfg_concat_matches_two_apply(setup):
+    """ppo_loss(cfg_concat=True) == ppo_loss(cfg_concat=False): the 2B
+    concat apply is the same math as the reference's two B-batch applies
+    (all norm/attention statistics are per-sample)."""
+    from ddpo_tpu.training.policy_gradient import ppo_loss
+
+    scheduler = setup["scheduler"]
+    sched_state = scheduler.set_timesteps(setup["sched_state"], T_STEPS)
+    batch = _batch_at_t(setup, 1)
+
+    def run(concat):
+        return ppo_loss(
+            setup["params"], setup["unet_apply"], batch, scheduler,
+            sched_state, train_cfg=True, guidance_scale=5.0, eta=1.0,
+            clip_range=1e-4, cfg_concat=concat,
+        )
+
+    loss_two, info_two = run(False)
+    loss_cat, info_cat = run(True)
+    np.testing.assert_allclose(
+        float(loss_cat), float(loss_two), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(info_cat["approx_kl"]), float(info_two["approx_kl"]),
+        rtol=1e-4, atol=1e-9,
+    )
