@@ -68,7 +68,6 @@ print(f"WORKER_{jax.process_index()}_OK")
 """
 
 
-@pytest.mark.timeout(240)
 def test_two_process_distributed(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -106,3 +106,20 @@ def test_policy_gradient_driver_tp2(workdir):
     ]
     kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
     assert kl < 1e-6, f"tp=2 run broke the on-policy invariant: kl={kl}"
+
+
+@pytest.mark.slow
+def test_policy_gradient_driver_bf16(workdir):
+    """The bf16 training configuration end-to-end: exercises the
+    cfg_concat 2B-batch CFG apply (enabled when --dtype bfloat16) through
+    the actual driver. Clip range widened per the config note (bf16 logp
+    noise ~1e-2 swamps the reference's 1e-4)."""
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "2",
+                  "--train_batch_size", "1", "--save_freq", "1000",
+                  "--dtype", "bfloat16", "--sample_dtype", "bfloat16",
+                  "--ppo_clip_range", "0.1"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
