@@ -110,6 +110,8 @@ def main(argv=None):
             scheduler=scheduler,
             train_cfg=args.train_cfg,
             guidance_scale=args.guidance_scale,
+            # CFG as one 2B-batch apply for bf16 (see policy_gradient driver)
+            cfg_concat=args.dtype == "bfloat16",
         ),
         donate_argnums=(0,),
     )

@@ -119,6 +119,38 @@ def test_rwr_train_cfg_changes_prediction(rwr_setup):
     assert abs(float(loss_no) - float(loss_cfg)) > 1e-8
 
 
+def test_rwr_cfg_concat_matches_two_apply(rwr_setup):
+    """diffusion.train_step(cfg_concat=True) == two-apply form: identical
+    loss and gradients up to fp reassociation (the 2B concat apply is the
+    same math; the backward sums contributions in a different order, so
+    compare through an SGD update whose param delta scales with the actual
+    gradient difference — adamw's sign-normalization would amplify fp noise
+    on near-zero gradients into spurious mismatches)."""
+    state, text_apply, text_params, batch, scheduler, sched_state = rwr_setup
+    sgd_state = TrainState.create(
+        apply_fn=state.apply_fn, params=state.params, tx=optax.sgd(0.1)
+    )
+    common = dict(
+        text_encoder_params=text_params, batch=batch,
+        rng=jax.random.PRNGKey(11), scheduler_state=sched_state,
+        text_encoder_apply=text_apply, scheduler=scheduler, train_cfg=True,
+        guidance_scale=5.0,
+    )
+    state_two, loss_two, _ = diffusion.train_step(
+        sgd_state, cfg_concat=False, **common
+    )
+    state_cat, loss_cat, _ = diffusion.train_step(
+        sgd_state, cfg_concat=True, **common
+    )
+    np.testing.assert_allclose(float(loss_cat), float(loss_two), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        state_cat.params, state_two.params,
+    )
+
+
 # ------------------------------ aesthetic MLP -------------------------------- #
 
 
