@@ -5,6 +5,7 @@ from ddpo_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from ddpo_tpu.parallel.sequence import sequence_parallel_attention
 from ddpo_tpu.parallel.sharding import unet_partition_rules, shard_params
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "sequence_parallel_attention",
     "unet_partition_rules",
     "shard_params",
 ]

@@ -191,3 +191,30 @@ def test_shard_map_sampler_matches_semantics(tiny_setup):
         np.asarray(traj["latents"][:, 1:]),
         rtol=1e-5,
     )
+
+
+def test_sequence_parallel_attention_matches_unsharded():
+    """sp-sharded attention == unsharded attention: queries sharded over an
+    'sp' mesh axis, K/V all-gathered per shard (exact softmax), optionally
+    composed with a dp batch axis."""
+    from jax.sharding import Mesh
+    from ddpo_tpu.ops import xla_attention
+    from ddpo_tpu.parallel import sequence_parallel_attention
+
+    key = jax.random.PRNGKey(0)
+    b, s, h, d = 4, 64, 2, 16
+    q = jax.random.normal(key, (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d))
+    ref = xla_attention(q, k, v)
+
+    devices = np.array(jax.devices()[:8])
+    mesh_sp = Mesh(devices.reshape(8), ("sp",))
+    out = sequence_parallel_attention(mesh_sp, q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    mesh_dp_sp = Mesh(devices.reshape(2, 4), ("dp", "sp"))
+    out2 = sequence_parallel_attention(
+        mesh_dp_sp, q, k, v, batch_axis="dp"
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-6)
