@@ -92,7 +92,8 @@ base = {
         "resolution": 512,
         "filter_field": None,
         "guidance_scale": 5.0,
-        "dtype": "float32",
+        "dtype": "float32",  # master param/optimizer dtype (keep fp32:
+        # bf16 weights cannot absorb lr~1e-5 adamw updates)
         "cache": "cache",
         "verbose": False,
         "seed": 0,
@@ -127,9 +128,12 @@ base = {
         "fused_train_loop": False,  # scan over timesteps in one dispatch
         "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
         "mesh_tp": 1,  # tensor-parallel axis size
-        "sample_dtype": "float32",  # sampler dtype; bf16 is ~15% faster but its
-        # logp noise (|dlogp|~1e-2) swamps ppo_clip_range=1e-4 — raise the
-        # clip range if you opt in (measured: clipfrac 0.95 at defaults)
+        "sample_dtype": "float32",  # sampler compute dtype
+        "train_dtype": "float32",  # PPO-recompute compute dtype (master
+        # params stay in `dtype`). Mismatched sample/train dtypes put pure
+        # numerics noise into the PPO ratio (bf16 sample + fp32 train:
+        # |dlogp|~1e-2 vs ppo_clip_range=1e-4, clipfrac 0.95) — keep them
+        # MATCHED; see bench_logp.py for the measured noise per config
         "profile_dir": None,  # jax.profiler trace output
         "resume": False,  # restore full train state from savepath
         "model_preset": "sd14",  # "tiny" for CPU smoke tests

@@ -413,7 +413,17 @@ _FLASH_OVERRIDE: Optional[bool] = None
 
 
 def set_flash_enabled(value: Optional[bool]) -> None:
-    """Force (True/False) or restore automatic (None) flash dispatch."""
+    """Force (True/False) or restore automatic (None) flash dispatch.
+
+    True forces the Pallas kernel even where auto-dispatch would pick XLA
+    (short KV, non-TPU backends — useful for dispatch assertions in tests);
+    False forces XLA everywhere; None restores automatic dispatch.
+
+    The override is read at TRACE time and is not part of any jit cache
+    key: calling this after a function has been traced has no effect on the
+    already-compiled executable. Set it before the first trace (as the
+    drivers do), or pass use_flash explicitly to attention().
+    """
     global _FLASH_OVERRIDE
     _FLASH_OVERRIDE = value
 
@@ -440,7 +450,7 @@ def attention(
         # XLA softmax's HBM traffic at Sk=77). See BENCHLOG.md round 2.
         use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
         if _FLASH_OVERRIDE is not None:
-            use_flash = use_flash and _FLASH_OVERRIDE
+            use_flash = _FLASH_OVERRIDE
     if use_flash:
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)

@@ -1,0 +1,141 @@
+"""Pallas direct 3x3 conv (stride 1, SAME) for the UNet's spatial convs.
+
+XLA's conv emitter runs the SD-1.4 resnet convs at ~30 TF/s on v5e (~15% of
+bf16 peak; BENCHLOG.md round-3 microbench), making convolutions the last
+structural lever in the sampler. This kernel reformulates the conv as 9
+accumulated (H*W, Cin) x (Cin, bco) matmuls with fp32 accumulation, one
+(batch, channel-block) program per grid cell.
+
+Layout trick: the three dx-shifted column windows are prepared OUTSIDE the
+kernel (XLA pad+slice, pure HBM bandwidth) so that in-kernel windows are
+leading-dim row slices of contiguous (H+2, W, Cin) blocks — reshape
+(H, W, Cin) -> (H*W, Cin) is then layout-preserving (W is a sublane
+multiple) and the MXU sees its operands without any in-VMEM re-tiling.
+Slicing dx inside the kernel instead (offset 1 on the sublane dim) forces a
+relayout copy per window and measured SLOWER than XLA (4.4 vs 3.9 ms at
+64x64x320; BENCHLOG.md).
+
+  grid (B, Cout/bco):
+    xl/xc/xr blocks: (1, H+2, W, Cin)  dx = -1 / 0 / +1 column windows
+    w block:         (3, 3, Cin, bco)
+    out:             (1, H, W, bco)
+
+Shapes are static per UNet level (64/32/16/8 px), so each level compiles its
+own specialization. Backward stays on XLA (sampling is forward-only; the
+training path differentiates the XLA reference conv — same math).
+
+Reference workload: the 50-step CFG sampler scan
+(/root/reference/ddpo/diffusers_patch/pipeline_flax_stable_diffusion.py:
+204-255); conv sites ddpo_tpu/models/layers.py (ResnetBlock conv1/conv2,
+up/downsamplers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block_co(cout: int, h: int, w: int, cin: int) -> int:
+    """Largest output-channel block that divides Cout and fits VMEM."""
+    budget = 48 * 1024 * 1024
+    for bco in (cout, 512, 256, 128, 64):
+        if cout % bco:
+            continue
+        acc_bytes = h * w * bco * 4
+        w_bytes = 9 * cin * bco * 2
+        x_bytes = 3 * (h + 2) * w * cin * 2
+        if acc_bytes + w_bytes + 2 * x_bytes <= budget:
+            return bco
+    return cout
+
+
+def _conv3x3_kernel(xl_ref, xc_ref, xr_ref, w_ref, o_ref, *,
+                    height, width, cin, bco, out_dtype):
+    acc = jnp.zeros((height * width, bco), jnp.float32)
+    for dx, ref in enumerate((xl_ref, xc_ref, xr_ref)):
+        for dy in range(3):
+            win = ref[0, dy : dy + height].reshape(height * width, cin)
+            acc += jnp.dot(
+                win, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    o_ref[0] = acc.reshape(height, width, bco).astype(out_dtype)
+
+
+def conv3x3_direct(
+    x: jnp.ndarray,  # (B, H, W, Cin) NHWC
+    w: jnp.ndarray,  # (3, 3, Cin, Cout) HWIO (flax nn.Conv layout)
+    bias: Optional[jnp.ndarray] = None,  # (Cout,)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """stride-1 SAME 3x3 conv; returns (B, H, W, Cout) in x.dtype."""
+    b, h, width, cin = x.shape
+    kh, kw, wcin, cout = w.shape
+    assert (kh, kw) == (3, 3) and wcin == cin, (w.shape, x.shape)
+
+    bco = _pick_block_co(cout, h, width, cin)
+    assert cout % bco == 0, (cout, bco)
+
+    # dx column windows, prepared in HBM: zero-pad H once, then shift W
+    xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))  # (B, H+2, W, Cin)
+    xl = jnp.pad(xh, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :width, :]
+    xr = jnp.pad(xh, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :]
+
+    kernel = functools.partial(
+        _conv3x3_kernel, height=h, width=width, cin=cin, bco=bco,
+        out_dtype=x.dtype,
+    )
+    x_spec = pl.BlockSpec(
+        (1, h + 2, width, cin), lambda i, j: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, cout // bco),
+        in_specs=[
+            x_spec, x_spec, x_spec,
+            pl.BlockSpec(
+                (3, 3, cin, bco), lambda i, j: (0, 0, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, width, bco), lambda i, j: (i, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, width, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * width * 9 * cin * cout,
+            bytes_accessed=(
+                3 * xh.size * xh.dtype.itemsize
+                + w.size * w.dtype.itemsize
+                + b * h * width * cout * x.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xl, xh, xr, w)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv3x3_xla(x, w, bias=None):
+    """XLA reference: lax.conv_general_dilated in NHWC/HWIO."""
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

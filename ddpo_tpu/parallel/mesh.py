@@ -58,6 +58,30 @@ def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
 
 
+def shard_map_compat(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_vma vs check_rep keyword).
+
+    jax >= 0.8 exports jax.shard_map taking check_vma; some intermediate
+    versions export jax.shard_map but still take check_rep (TypeError at
+    call); older versions only have jax.experimental.shard_map. One shim,
+    shared by every shard_map call site (sampler, sequence parallelism).
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis data-parallel sharding for batched tensors."""
     return NamedSharding(mesh, P("dp"))

@@ -22,21 +22,7 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map  # jax >= 0.8
-
-        return shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-    except (ImportError, TypeError):  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
-        return shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
+from ddpo_tpu.parallel.mesh import shard_map_compat as _shard_map
 
 
 def sequence_parallel_attention(

@@ -119,11 +119,15 @@ def main(argv=None):
     def unet_apply(p, latents, t, context):
         return models.unet.apply({"params": p}, latents, t, context)
 
-    # training recomputes log-probs under the configured train dtype
-    # (reference trains float32, config/base.py pg.dtype) while sampling
-    # runs the bf16 instance — precision mismatches between the two passes
-    # feed straight into the PPO ratio, so this is config-controlled
-    train_model = type(models.unet)(models.unet.config, dtype=_dtype(args.dtype))
+    # train_dtype is the COMPUTE dtype of the PPO recompute; master params
+    # (and the optimizer) stay in args.dtype (fp32 default — bf16 master
+    # weights cannot absorb lr~1e-5 updates: relative precision ~4e-3).
+    # flax casts fp32 params to the compute dtype at use, which produces the
+    # same bf16 values the sampler's once-per-epoch cast does — matching the
+    # two passes kernel-for-kernel is what keeps |dlogp| noise below the
+    # ppo clip range (bench_logp.py; VERDICT round-2 item #1)
+    train_dtype = _dtype(getattr(args, "train_dtype", args.dtype))
+    train_model = type(models.unet)(models.unet.config, dtype=train_dtype)
 
     def train_unet_apply(p, latents, t, context):
         return train_model.apply({"params": p}, latents, t, context)
@@ -136,7 +140,7 @@ def main(argv=None):
     # CFG as one 2B-batch apply for bf16 training (1.29x the two-apply step
     # on v5e); fp32 keeps the reference's two-apply form, which is faster
     # under whole-model remat at fp32 (see training/policy_gradient.ppo_loss)
-    cfg_concat = args.dtype == "bfloat16"
+    cfg_concat = train_dtype == jnp.bfloat16
 
     # ------------------------------- train state ------------------------------ #
     optimizer = build_optimizer(args)

@@ -51,9 +51,22 @@ def run_iteration(dataset: str, iteration: int, eval_samples: int = 10000) -> No
 def main(argv=None):
     ap = argparse.ArgumentParser(allow_abbrev=False)
     ap.add_argument("--dataset", default="compressed_animals_rwr")
+    ap.add_argument(
+        "--sparse",
+        action="store_true",
+        help="sparse filtering variant (reference run-sparse.sh): use the "
+        "percentile-masked dataset config instead of the keep-all *_rwr one "
+        "(drops a -rwr/_rwr suffix from --dataset if present)",
+    )
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--eval_samples", type=int, default=10000)
     args, _ = ap.parse_known_args(argv)
+
+    if args.sparse:
+        for suffix in ("_rwr", "-rwr"):
+            if args.dataset.endswith(suffix):
+                args.dataset = args.dataset[: -len(suffix)]
+                break
 
     for i in range(args.iterations):
         print(f"[ rwr_loop ] ======== iteration {i} ========")

@@ -137,15 +137,9 @@ def sample_trajectories_sharded(
     no collectives are needed — sampling is embarrassingly batch-parallel.
     Requires replicated params (tp=1).
     """
-    try:
-        from jax import shard_map  # jax >= 0.8
-
-        check_kwargs = {"check_vma": False}
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
-        check_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
+
+    from ddpo_tpu.parallel.mesh import shard_map_compat
 
     def local_sample(params, sched_state, local_prompts, local_uncond, key):
         local_key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
@@ -154,11 +148,10 @@ def sample_trajectories_sharded(
             local_prompts, local_uncond, local_key, config,
         )
 
-    sharded = shard_map(
+    sharded = shard_map_compat(
         local_sample,
-        mesh=mesh,
+        mesh,
         in_specs=(P(), P(), P("dp"), P("dp"), P()),
         out_specs=P("dp"),
-        **check_kwargs,
     )
     return sharded(unet_params, scheduler_state, prompt_embeds, uncond_embeds, key)

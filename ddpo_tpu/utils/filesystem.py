@@ -102,7 +102,33 @@ def put_dir(local: str, remote: str, only_newer: bool = True) -> int:
                 for f in files:
                     p = os.path.join(root, f)
                     mtimes[os.path.relpath(p, base)] = os.path.getmtime(p)
-        # real GCS: stat per file is slow; upload unconditionally
+        else:
+            # One bulk listing (paths + mtimes in a single LIST call) keeps
+            # the per-epoch artifact sync incremental on real GCS — per-file
+            # stat would be slow, and unconditional re-upload is O(epochs^2)
+            # volume over a long run (reference uses gsutil rsync,
+            # serialization.py:383-399).
+            try:
+                prefix = remote.rstrip("/") + "/"
+                for path, info in _gcs().find(remote, detail=True).items():
+                    if info.get("type") == "directory":
+                        continue
+                    m = info.get("mtime", info.get("updated"))
+                    if m is None:
+                        continue
+                    if isinstance(m, str):  # gcsfs ISO-8601 'updated'
+                        import datetime
+
+                        m = datetime.datetime.fromisoformat(
+                            m.replace("Z", "+00:00")
+                        )
+                    if hasattr(m, "timestamp"):
+                        m = m.timestamp()
+                    full = path if path.startswith("gs://") else "gs://" + path
+                    if full.startswith(prefix):
+                        mtimes[full[len(prefix):]] = float(m)
+            except FileNotFoundError:
+                pass  # nothing remote yet: upload everything
 
     for root, _, files in os.walk(local):
         for f in files:

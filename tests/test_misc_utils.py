@@ -18,11 +18,30 @@ def test_progress_counts_and_stamps(capsys):
         p({"loss": 0.5, "note": "x"})
     p.stamp()
     out = capsys.readouterr().out
-    assert "4/4" in out and "loss: 0.5" in out
+    assert "4 / 4" in out and "loss : 0.5" in out
 
     s = Silent(100, name="quiet")
     s({"a": 1})
     s.stamp()
+    s.pause()
+    s.append_description("anything")
+
+
+def test_progress_reference_surface(capsys):
+    # reference surface: param table chunked by ncol, tiny floats in
+    # scientific notation, pause/resume, append_description into stamp
+    # (ddpo/utils/progress.py:7-177)
+    p = Progress(10, name="ref", ncol=2, max_length=16)
+    p.update({"kl": 3.2e-5, "clipfrac": 0.1, "loss": -0.25})
+    out = capsys.readouterr().out
+    assert "3.20e-05" in out  # <1e-4 renders scientific
+    assert "clipfrac : 0.1" in out
+    p.pause()
+    p.resume()
+    p.append_description("epoch done")
+    p.stamp()
+    out = capsys.readouterr().out
+    assert "epoch done" in out and "1 / 10" in out
 
 
 def test_step_timer_phases():
