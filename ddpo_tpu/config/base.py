@@ -128,6 +128,7 @@ base = {
         "fused_train_loop": False,  # scan over timesteps in one dispatch
         "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
         "mesh_tp": 1,  # tensor-parallel axis size
+        "mesh_sp": 1,  # sequence-parallel axis size (latent self-attention)
         "sample_dtype": "float32",  # sampler compute dtype
         "train_dtype": "float32",  # PPO-recompute compute dtype (master
         # params stay in `dtype`). Mismatched sample/train dtypes put pure

@@ -1,16 +1,21 @@
 from ddpo_tpu.ops.attention import (
     attention,
     flash_attention,
+    set_attention_sharding,
     set_flash_enabled,
     xla_attention,
 )
+from ddpo_tpu.ops.conv import conv3x3_direct, conv3x3_xla
 from ddpo_tpu.ops.groupnorm import group_norm, group_norm_silu
 
 __all__ = [
     "attention",
     "xla_attention",
     "flash_attention",
+    "set_attention_sharding",
     "set_flash_enabled",
+    "conv3x3_direct",
+    "conv3x3_xla",
     "group_norm",
     "group_norm_silu",
 ]

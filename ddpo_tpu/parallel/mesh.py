@@ -4,9 +4,12 @@ The reference parallelizes exclusively with jax.pmap + flax replicate +
 reshape-based shard/unshard (SURVEY.md 2.12, utils/preprocessing.py:35-53).
 Here a single jax.sharding.Mesh spans the pod:
 
-  axes ('dp', 'tp'):
+  axes ('dp', 'sp', 'tp'):
     dp — data parallelism over ICI (and DCN for multi-slice: put the slower
          network on the outermost dimension of the device array).
+    sp — sequence parallelism for the latent self-attention (query sequence
+         split, K/V gathered per shard; ops/attention.set_attention_sharding
+         and parallel/sequence.py).
     tp — tensor parallelism for the UNet (attention heads / conv channels),
          via GSPMD sharding constraints (see parallel/sharding.py).
 
@@ -29,33 +32,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     dp: int = -1  # -1: all remaining devices
+    sp: int = 1  # sequence parallelism (latent self-attention query dim)
     tp: int = 1
 
 
 def create_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
-    """Build the ('dp', 'tp') mesh over the given (default: all) devices.
+    """Build the ('dp', 'sp', 'tp') mesh over the given (default: all) devices.
 
-    Uses mesh_utils to order devices along the physical ICI topology (tp on
-    the innermost/fastest links, dp across hosts/DCN on the outer dim);
-    falls back to a plain reshape for explicit device lists and virtual
-    CPU meshes.
+    Uses mesh_utils to order devices along the physical ICI topology (tp/sp
+    on the innermost/fastest links — their collectives run per attention
+    call — dp across hosts/DCN on the outer dim); falls back to a plain
+    reshape for explicit device lists and virtual CPU meshes.
     """
     n = len(devices) if devices is not None else len(jax.devices())
-    tp = config.tp
-    dp = config.dp if config.dp != -1 else n // tp
-    if dp * tp != n:
-        raise ValueError(f"mesh {dp}x{tp} != {n} devices")
+    tp, sp = config.tp, config.sp
+    dp = config.dp if config.dp != -1 else n // (tp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"mesh {dp}x{sp}x{tp} != {n} devices")
 
     if devices is None:
         try:
             from jax.experimental import mesh_utils
 
-            mesh_devices = mesh_utils.create_device_mesh((dp, tp))
-            return Mesh(mesh_devices, ("dp", "tp"))
+            mesh_devices = mesh_utils.create_device_mesh((dp, sp, tp))
+            return Mesh(mesh_devices, ("dp", "sp", "tp"))
         except Exception:
             devices = jax.devices()
     devices = np.asarray(devices)
-    return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
+    return Mesh(devices.reshape(dp, sp, tp), ("dp", "sp", "tp"))
 
 
 def shard_map_compat(fn, mesh, in_specs, out_specs):

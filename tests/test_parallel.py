@@ -40,9 +40,11 @@ TINY = UNetConfig(
 
 def test_mesh_shapes():
     mesh = create_mesh(MeshConfig(dp=-1, tp=1))
-    assert mesh.devices.shape == (8, 1)
+    assert mesh.devices.shape == (8, 1, 1)
     mesh = create_mesh(MeshConfig(dp=4, tp=2))
-    assert mesh.devices.shape == (4, 2)
+    assert mesh.devices.shape == (4, 1, 2)
+    mesh = create_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    assert mesh.devices.shape == (2, 2, 2)
     with pytest.raises(ValueError):
         create_mesh(MeshConfig(dp=3, tp=2))
 
@@ -218,3 +220,94 @@ def test_sequence_parallel_attention_matches_unsharded():
         mesh_dp_sp, q, k, v, batch_axis="dp"
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-6)
+
+
+def test_attention_sharding_context_matches_unsharded():
+    """set_attention_sharding(tp/sp) == plain attention, through the UNet.
+
+    Round-3 design (VERDICT items #3/#6): tp>1 / sp>1 no longer force the
+    XLA path process-wide — self-attention runs inside an inner shard_map
+    over the heads ('tp') / query-sequence ('sp') axes, so the Pallas kernel
+    stays live on TPU. On this CPU mesh the per-shard body dispatches to the
+    XLA path; equality vs the unsharded forward proves the sharded math.
+    """
+    from ddpo_tpu.models import UNet2DCondition
+    from ddpo_tpu.ops import set_attention_sharding
+
+    model = UNet2DCondition(TINY)
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 4, 8, 8).astype(np.float32)
+    t = np.array([1, 5, 9, 13], np.int32)
+    ctx = rs.randn(4, 7, 32).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(t[:1]),
+        jnp.asarray(ctx[:1]),
+    )["params"]
+
+    ref = np.asarray(
+        model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
+                    jnp.asarray(ctx))
+    )
+
+    for cfg, devs in (
+        (MeshConfig(dp=2, sp=2, tp=2), None),
+        (MeshConfig(dp=4, sp=2, tp=1), None),
+        (MeshConfig(dp=2, sp=1, tp=2), jax.devices()[:4]),
+    ):
+        mesh = create_mesh(cfg, devices=devs)
+        set_attention_sharding(
+            mesh,
+            batch_axis="dp",
+            heads_axis="tp" if cfg.tp > 1 else None,
+            seq_axis="sp" if cfg.sp > 1 else None,
+        )
+        try:
+            with mesh:
+                out = jax.jit(
+                    lambda p, x, t, c: model.apply({"params": p}, x, t, c)
+                )(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+            np.testing.assert_allclose(
+                np.asarray(out), ref, atol=2e-5, rtol=2e-5,
+            )
+        finally:
+            set_attention_sharding(None)
+
+
+def test_attention_sharding_grad_matches_unsharded():
+    """Backward through the shard_mapped attention == unsharded gradients."""
+    from ddpo_tpu.models import UNet2DCondition
+    from ddpo_tpu.ops import set_attention_sharding
+
+    model = UNet2DCondition(TINY)
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 4, 8, 8).astype(np.float32)
+    t = np.array([3, 11], np.int32)
+    ctx = rs.randn(2, 7, 32).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(t[:1]),
+        jnp.asarray(ctx[:1]),
+    )["params"]
+
+    def loss(p):
+        out = model.apply(
+            {"params": p}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+        )
+        return jnp.mean(out**2)
+
+    ref_grads = jax.grad(loss)(params)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    set_attention_sharding(mesh, batch_axis="dp", heads_axis="tp", seq_axis="sp")
+    try:
+        with mesh:
+            got_grads = jax.jit(jax.grad(loss))(params)
+    finally:
+        set_attention_sharding(None)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    got = dict(jax.tree_util.tree_leaves_with_path(got_grads))
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(got[path]), np.asarray(leaf), atol=3e-5, rtol=3e-4,
+            err_msg=str(path),
+        )

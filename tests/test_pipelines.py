@@ -109,17 +109,48 @@ def test_policy_gradient_driver_tp2(workdir):
 
 
 @pytest.mark.slow
-def test_policy_gradient_driver_bf16(workdir):
-    """The bf16 training configuration end-to-end: exercises the
-    cfg_concat 2B-batch CFG apply (enabled when --dtype bfloat16) through
-    the actual driver. Clip range widened per the config note (bf16 logp
-    noise ~1e-2 swamps the reference's 1e-4)."""
+def test_policy_gradient_driver_bf16_matched(workdir):
+    """The MATCHED bf16 configuration end-to-end: bf16 sampling + bf16
+    train-compute over fp32 master params (--train_dtype), cfg_concat
+    2B-batch CFG apply. Matched compute paths keep the recomputed log-probs
+    at the sampling-time values, so the on-policy invariant must hold at the
+    reference's own 1e-4 clip range (bench_logp.py: matched bf16/bf16
+    |dlogp| sits at the fp32 noise floor; mismatched bf16/fp32 clips 94%)."""
     from ddpo_tpu.pipelines import policy_gradient
 
     rewards = policy_gradient.main(
         COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "2",
                   "--train_batch_size", "1", "--save_freq", "1000",
-                  "--dtype", "bfloat16", "--sample_dtype", "bfloat16",
-                  "--ppo_clip_range", "0.1"]
+                  "--sample_dtype", "bfloat16", "--train_dtype", "bfloat16"]
     )
     assert len(rewards) == 1 and np.isfinite(rewards[0])
+    logdir = workdir / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    infos = [
+        np.load(f, allow_pickle=True).item()
+        for f in sorted((logdir / "train_info").iterdir())
+    ]
+    kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
+    assert kl < 1e-6, f"matched-bf16 run broke the on-policy invariant: kl={kl}"
+
+
+@pytest.mark.slow
+def test_policy_gradient_driver_sp2(workdir):
+    """--mesh_sp 2 completes sample+train with the latent self-attention
+    shard_mapped over the sequence axis (VERDICT round-2 item #3: sp must be
+    reachable from the driver, not shelf-ware). The on-policy invariant is
+    the correctness signal, as in the tp test."""
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "1",
+                  "--train_batch_size", "1", "--save_freq", "1000",
+                  "--mesh_sp", "2"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+    logdir = workdir / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    infos = [
+        np.load(f, allow_pickle=True).item()
+        for f in sorted((logdir / "train_info").iterdir())
+    ]
+    kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
+    assert kl < 1e-6, f"sp=2 run broke the on-policy invariant: kl={kl}"
