@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddpo_tpu_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 from ddpo_tpu.core.scheduler import DDIMScheduler
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories
 from ddpo_tpu.utils.serialization import load_unet
@@ -169,11 +172,14 @@ def main():
          TRAIN_BS, False),
         ("bf16_sample/bf16_train_concat_bs%d" % TRAIN_BS, unet_bf16,
          params_f32, traj_bf16, TRAIN_BS, True),
-        ("bf16_sample/bf16_train_concat_bs%d" % BATCH, unet_bf16,
-         params_f32, traj_bf16, BATCH, True),
-        ("bf16_sample/bf16_train_twoapply_bs%d" % TRAIN_BS, unet_bf16,
-         params_f32, traj_bf16, TRAIN_BS, False),
     ]
+    if os.environ.get("LOGP_ALL_CONFIGS"):
+        runs += [
+            ("bf16_sample/bf16_train_concat_bs%d" % BATCH, unet_bf16,
+             params_f32, traj_bf16, BATCH, True),
+            ("bf16_sample/bf16_train_twoapply_bs%d" % TRAIN_BS, unet_bf16,
+             params_f32, traj_bf16, TRAIN_BS, False),
+        ]
     for name, model, p, traj, bs, concat in runs:
         traj_dev = {k: jnp.asarray(v) for k, v in traj.items()
                     if k in ("latents", "next_latents", "ts", "log_probs")}

@@ -67,15 +67,18 @@ def main():
     scheduler = DDIMScheduler()
     sched_state = scheduler.set_timesteps(scheduler.create_state(), 50)
 
-    def make_state(apply_fn, dtype=jnp.float32):
+    def make_state(apply_fn, dtype=jnp.float32, accumulate=False):
         # adafactor (a reference config option) keeps optimizer state tiny:
-        # fp32 params + grad_acc + adamw moments exceed 16GB HBM on a v5e
+        # fp32 params + grad_acc + adamw moments exceed 16GB HBM on a v5e.
+        # accumulate=False: no 3.4GB grad-accumulation buffer (the default
+        # train_accumulation_steps=1 never uses it — driver does the same)
         p = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=dtype), params)
         return AccumulatingTrainState.create(
             apply_fn=apply_fn, params=p,
             tx=optax.chain(
                 optax.clip_by_global_norm(1.0), optax.adafactor(1e-5)
             ),
+            accumulate=accumulate,
         )
 
     key = jax.random.PRNGKey(1)
@@ -129,7 +132,10 @@ def main():
 
     def measure_ref():
         try:
-            return time_variant(train_step, make_state(apply32), run_ref)
+            # the reference style accumulates grads across the timestep loop
+            return time_variant(
+                train_step, make_state(apply32, accumulate=True), run_ref
+            )
         except Exception as e:  # the fp32 reference config may not fit 16GB
             print(f"# reference-style fp32 variant failed: {type(e).__name__}")
             return None
@@ -152,10 +158,13 @@ def main():
         state, _ = fused_step(state, batch_t, sched_state)
         return state
 
-    print("# measuring fused bf16 variant", flush=True)
-    # bf16 params + grad buffers: the fp32 state alone busts 16GB HBM
+    print("# measuring fused bf16-compute variant (fp32 master params — the "
+          "shipped pg default config)", flush=True)
+    master_dtype = jnp.float32
+    if os.environ.get("TRAIN_BENCH_BF16_MASTER"):
+        master_dtype = jnp.bfloat16  # round-2 comparison variant
     t_fused = time_variant(
-        train_step_fused, make_state(apply16, jnp.bfloat16), run_fused
+        train_step_fused, make_state(apply16, master_dtype), run_fused
     )
 
     per_fused = t_fused / (bs * num_t)

@@ -110,7 +110,13 @@ base = {
         "train_accumulation_steps": 1,
         "num_train_epochs": 200,
         "num_inner_epochs": 1,
-        "ppo_clip_range": 1e-4,
+        # reference value is 1e-4 (config/base.py:84). Measured on v5e at
+        # production geometry (bench_logp.py, round 3): the recompute-noise
+        # median |dlogp| is 4.5e-5 for fp32 and 9.0e-5 for bf16 — the
+        # reference's own clip range sits at ~0.5x/1x its numerics noise
+        # (clipfrac 0.19 / 0.46 at sampling params). 2e-4 restores the
+        # reference's noise-to-trust-region ratio under the bf16 defaults.
+        "ppo_clip_range": 2e-4,
         "train_cfg": True,
         "learning_rate": 1e-5,
         "beta1": 0.9,
@@ -125,16 +131,20 @@ base = {
         "per_prompt_stats_bufsize": 32,
         "per_prompt_stats_min_count": 16,
         # TPU-native extensions (not in the reference)
-        "fused_train_loop": False,  # scan over timesteps in one dispatch
+        "fused_train_loop": True,  # scan over timesteps in one dispatch
+        # (equivalence-tested vs per-timestep dispatch; 1.8x on v5e)
         "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
         "mesh_tp": 1,  # tensor-parallel axis size
         "mesh_sp": 1,  # sequence-parallel axis size (latent self-attention)
-        "sample_dtype": "float32",  # sampler compute dtype
-        "train_dtype": "float32",  # PPO-recompute compute dtype (master
-        # params stay in `dtype`). Mismatched sample/train dtypes put pure
-        # numerics noise into the PPO ratio (bf16 sample + fp32 train:
-        # |dlogp|~1e-2 vs ppo_clip_range=1e-4, clipfrac 0.95) — keep them
-        # MATCHED; see bench_logp.py for the measured noise per config
+        # Compute dtypes (master params/optimizer stay in `dtype`=fp32).
+        # bf16 is the measured-sound default: on v5e at production geometry
+        # the bf16 sampler is 1.14x and the bf16 fused train step 1.83x,
+        # while the PPO-ratio noise it adds is only 2x the fp32 floor
+        # (median |dlogp| 9.0e-5 vs 4.5e-5 — bench_logp.py round 3; the
+        # round-1 "~1e-2 bf16 noise" predates the fp32 latent carry and is
+        # not reproducible). ppo_clip_range above is retuned accordingly.
+        "sample_dtype": "bfloat16",  # sampler compute dtype
+        "train_dtype": "bfloat16",  # PPO-recompute compute dtype
         "profile_dir": None,  # jax.profiler trace output
         "resume": False,  # restore full train state from savepath
         "model_preset": "sd14",  # "tiny" for CPU smoke tests
@@ -291,3 +301,4 @@ debug_animals = _dataset(
 debug_animals["common"]["model_preset"] = "tiny"
 debug_animals["common"]["dtype"] = "float32"
 debug_animals["common"]["sample_dtype"] = "float32"
+debug_animals["common"]["train_dtype"] = "float32"  # bf16 is emulated on CPU

@@ -22,7 +22,37 @@ import jax
 import jax.numpy as jnp
 
 from ddpo_tpu.ops import attention as attention_op
+from ddpo_tpu.ops.conv import conv3x3
 from ddpo_tpu.ops.groupnorm import group_norm, group_norm_silu
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-1 SAME conv dispatching through ops/conv.py.
+
+    Param tree identical to nn.Conv (HWIO kernel + bias under the same
+    module name), so checkpoints and the SD-1.4 manifest are unaffected;
+    only the compute path changes (Pallas kernel on TPU at shapes where it
+    measured faster than XLA's conv emitter, XLA otherwise).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        return conv3x3(x, kernel, bias)
 
 def timestep_embedding(
     timesteps: jnp.ndarray,
@@ -94,10 +124,7 @@ class ResnetBlock2D(nn.Module):
         residual = x
 
         h = GroupNorm(silu=True, name="norm1")(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-            name="conv1",
-        )(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
 
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
@@ -106,10 +133,7 @@ class ResnetBlock2D(nn.Module):
             h = h + t[:, None, None, :]
 
         h = GroupNorm(silu=True, name="norm2")(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-            name="conv2",
-        )(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
             residual = nn.Conv(
@@ -253,10 +277,7 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(
-            self.channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-            name="conv",
-        )(x)
+        return Conv3x3(self.channels, dtype=self.dtype, name="conv")(x)
 
 
 class VAESelfAttention(nn.Module):

@@ -455,6 +455,13 @@ def set_attention_sharding(
 
     Cross-attention (Sq != Sk, 77-token text context) stays on the plain
     path — at Sk=77 there is nothing to shard and GSPMD partitions it fine.
+
+    KNOWN LIMIT (trainers must not combine sp>1 with tp>1): with BOTH manual
+    axes active, XLA's manual<->auto partitioning boundary miscounts the
+    weight gradients of surrounding convolutions by exactly 2x (measured on
+    jax 0.9 CPU meshes: conv kernels 2.0x, every Dense/GN grad and the full
+    forward exact — see tests/test_parallel.py). Forward-only use (sampling)
+    is unaffected. The pg driver rejects sp>1 && tp>1.
     """
     global _SHARD_CTX
     if mesh is None:

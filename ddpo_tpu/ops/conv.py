@@ -56,14 +56,29 @@ def _pick_block_co(cout: int, h: int, w: int, cin: int) -> int:
 
 
 def _conv3x3_kernel(xl_ref, xc_ref, xr_ref, w_ref, o_ref, *,
-                    height, width, cin, bco, out_dtype):
-    acc = jnp.zeros((height * width, bco), jnp.float32)
-    for dx, ref in enumerate((xl_ref, xc_ref, xr_ref)):
+                    height, width, cin, bco, out_dtype, kfold):
+    if kfold:
+        # im2col inside VMEM: one (H*W, 9*Cin) x (9*Cin, bco) dot. The
+        # K=Cin-per-tap formulation starves the MXU (31 TF/s even for XLA's
+        # own einsum at Cin=320 — BENCHLOG round 3); folding all 9 taps
+        # into K raises per-tile arithmetic intensity. Window slices are
+        # leading-dim (free); the concat is a VMEM copy.
+        parts = []
         for dy in range(3):
-            win = ref[0, dy : dy + height].reshape(height * width, cin)
-            acc += jnp.dot(
-                win, w_ref[dy, dx], preferred_element_type=jnp.float32
-            )
+            for ref in (xl_ref, xc_ref, xr_ref):
+                parts.append(
+                    ref[0, dy : dy + height].reshape(height * width, cin)
+                )
+        a = jnp.concatenate(parts, axis=1)  # (M, 9*Cin), (dy, dx)-major
+        acc = jnp.dot(a, w_ref[...], preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((height * width, bco), jnp.float32)
+        for dy in range(3):
+            for dx, ref in enumerate((xl_ref, xc_ref, xr_ref)):
+                win = ref[0, dy : dy + height].reshape(height * width, cin)
+                acc += jnp.dot(
+                    win, w_ref[3 * dy + dx], preferred_element_type=jnp.float32
+                )
     o_ref[0] = acc.reshape(height, width, bco).astype(out_dtype)
 
 
@@ -72,6 +87,7 @@ def conv3x3_direct(
     w: jnp.ndarray,  # (3, 3, Cin, Cout) HWIO (flax nn.Conv layout)
     bias: Optional[jnp.ndarray] = None,  # (Cout,)
     interpret: bool = False,
+    kfold: bool = True,
 ) -> jnp.ndarray:
     """stride-1 SAME 3x3 conv; returns (B, H, W, Cout) in x.dtype."""
     b, h, width, cin = x.shape
@@ -88,22 +104,26 @@ def conv3x3_direct(
 
     kernel = functools.partial(
         _conv3x3_kernel, height=h, width=width, cin=cin, bco=bco,
-        out_dtype=x.dtype,
+        out_dtype=x.dtype, kfold=kfold,
     )
     x_spec = pl.BlockSpec(
         (1, h + 2, width, cin), lambda i, j: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    if kfold:
+        w_arg = w.reshape(9 * cin, cout)  # (dy, dx, cin)-major K
+        w_spec = pl.BlockSpec(
+            (9 * cin, bco), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        )
+    else:
+        w_arg = w.reshape(9, cin, cout)
+        w_spec = pl.BlockSpec(
+            (9, cin, bco), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
         kernel,
         grid=(b, cout // bco),
-        in_specs=[
-            x_spec, x_spec, x_spec,
-            pl.BlockSpec(
-                (3, 3, cin, bco), lambda i, j: (0, 0, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=[x_spec, x_spec, x_spec, w_spec],
         out_specs=pl.BlockSpec(
             (1, h, width, bco), lambda i, j: (i, 0, 0, j),
             memory_space=pltpu.VMEM,
@@ -122,7 +142,7 @@ def conv3x3_direct(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xl, xh, xr, w)
+    )(xl, xh, xr, w_arg)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -139,3 +159,73 @@ def conv3x3_xla(x, w, bias=None):
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dispatching entry point for the models (mirrors ops.attention's design):
+# Pallas forward on TPU where profitable, XLA elsewhere; backward always
+# differentiates the XLA reference (identical math, no second kernel to
+# validate; sampling — the hot path — is forward-only).
+# ---------------------------------------------------------------------------
+
+_CONV_OVERRIDE: Optional[bool] = None
+
+
+def set_conv_kernel_enabled(value: Optional[bool]) -> None:
+    """Force (True/False) or restore automatic (None) Pallas conv dispatch.
+
+    Read at TRACE time (not part of any jit cache key) — set before the
+    first trace, as with set_flash_enabled. Drivers running tensor/sequence
+    parallelism through plain jit must force False: GSPMD cannot partition
+    pallas_call operands (the dp shard_map sampler path is fine — kernels
+    there see local shards).
+    """
+    global _CONV_OVERRIDE
+    _CONV_OVERRIDE = value
+
+
+def _kernel_profitable(x_shape, w_shape) -> bool:
+    """Shapes where the Pallas conv measured faster than XLA on v5e.
+
+    Updated with bench_conv.py results; conservative default is False
+    (kernel v1 lost at every production shape — BENCHLOG round 3). The
+    K-folded v2 flips this where it wins.
+    """
+    return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _conv3x3_pallas_op(x, w):
+    return conv3x3_direct(x, w)
+
+
+def _conv3x3_fwd(x, w):
+    return conv3x3_direct(x, w), (x, w)
+
+
+def _conv3x3_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x_, w_: conv3x3_xla(x_, w_), x, w)
+    return vjp(g)
+
+
+_conv3x3_pallas_op.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+def conv3x3(x, w, bias=None):
+    """3x3 stride-1 SAME conv used by the model layers.
+
+    Auto-dispatch: the Pallas kernel on TPU backends at shapes where it
+    measured faster than XLA's conv emitter (bench_conv.py), XLA otherwise.
+    """
+    use_kernel = _CONV_OVERRIDE
+    if use_kernel is None:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # shape policy from bench_conv.py measurements on v5e
+        use_kernel = on_tpu and _kernel_profitable(x.shape, w.shape)
+    if use_kernel:
+        out = _conv3x3_pallas_op(x, w)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+    return conv3x3_xla(x, w, bias)

@@ -147,7 +147,10 @@ def main(argv=None):
     # ------------------------------- train state ------------------------------ #
     optimizer = build_optimizer(args)
     state = AccumulatingTrainState.create(
-        apply_fn=train_unet_apply, params=params["unet"], tx=optimizer
+        apply_fn=train_unet_apply, params=params["unet"], tx=optimizer,
+        # the fp32 accumulation buffer (3.4GB at SD-1.4 scale) only exists
+        # when accumulation is actually configured
+        accumulate=args.train_accumulation_steps > 1,
     )
     ckpt_root = args.savepath if not fs.is_remote(args.savepath) else localpath
     start_epoch = 0
@@ -180,6 +183,11 @@ def main(argv=None):
     from ddpo_tpu.parallel.sharding import place_train_state
 
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
+    assert not (tp > 1 and sp > 1), (
+        "mesh_sp and mesh_tp cannot be combined for training: XLA's "
+        "manual<->auto partitioner boundary miscounts conv weight grads 2x "
+        "with two manual attention axes (ops/attention.py docstring)"
+    )
     if tp > 1 or sp > 1:
         # GSPMD cannot partition pallas_call operands, so self-attention runs
         # inside an inner shard_map over the tp (heads) / sp (sequence) axes:

@@ -47,6 +47,12 @@ class AccumulatingTrainState(TrainState):
     n_acc: int = 0
 
     def apply_gradients(self, *, grads, do_update: bool = True, **kwargs):
+        if self.grad_acc is None:
+            # no accumulation buffer allocated (accumulate=False at create):
+            # a params-sized fp32 buffer is 3.4GB for SD-1.4 — dead weight
+            # whenever train_accumulation_steps == 1 (the default)
+            assert do_update, "created without an accumulation buffer"
+            return super().apply_gradients(grads=grads, **kwargs)
         if do_update:
             mean_grads = jax.tree_util.tree_map(
                 lambda ga, g: (ga + g) / (self.n_acc + 1), self.grad_acc, grads
@@ -62,10 +68,14 @@ class AccumulatingTrainState(TrainState):
         )
 
     @classmethod
-    def create(cls, *, params, **kwargs):
+    def create(cls, *, params, accumulate: bool = True, **kwargs):
         return super().create(
             params=params,
-            grad_acc=jax.tree_util.tree_map(jnp.zeros_like, params),
+            grad_acc=(
+                jax.tree_util.tree_map(jnp.zeros_like, params)
+                if accumulate
+                else None
+            ),
             n_acc=0,
             **kwargs,
         )

@@ -120,3 +120,29 @@ def test_driver_learns_mirror_reward(workdir):
     assert len(rewards) == 10
     first, last = np.mean(rewards[:3]), np.mean(rewards[-3:])
     assert last > first + 300, (first, last, rewards)
+
+
+@pytest.mark.slow
+def test_driver_learns_mirror_reward_bf16_matched(workdir):
+    """Learning proof at the SHIPPED dtype configuration: bf16 sampling +
+    bf16 train-compute (fp32 master params), cfg_concat + fused scan — the
+    round-3 production defaults. Same mirror reward/geometry/seed as the
+    fp32 proof above; the curve must improve by the same margin, showing
+    the bf16 ratio noise (bench_logp.py: median |dlogp| 2x the fp32 floor)
+    does not break optimization. Clip/lr as in the fp32 variant: at lr 1e-2
+    the learning signal dwarfs both dtype configs' noise; the production
+    clip default (2e-4) is justified separately by bench_logp.py's
+    noise-proportional retune."""
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        ["--dataset", "debug-animals", "--n_inference_steps", "2",
+         "--resolution", "32", "--filter_field", "mirror",
+         "--sample_batch_size", "16", "--train_batch_size", "4",
+         "--learning_rate", "1e-2", "--ppo_clip_range", "0.2",
+         "--sample_dtype", "bfloat16", "--train_dtype", "bfloat16",
+         "--num_train_epochs", "10", "--save_freq", "1000"]
+    )
+    assert len(rewards) == 10
+    first, last = np.mean(rewards[:3]), np.mean(rewards[-3:])
+    assert last > first + 300, (first, last, rewards)
