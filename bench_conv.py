@@ -18,7 +18,7 @@ from ddpo_tpu.ops.conv import conv3x3_direct, conv3x3_xla
 jax.config.update("jax_compilation_cache_dir", "/tmp/ddpo_tpu_compile_cache")
 
 
-def timeit_looped(op, args, n=10):
+def _timed_scan(op, args, n):
     @jax.jit
     def many(args):
         def body(carry, _):
@@ -32,10 +32,21 @@ def timeit_looped(op, args, n=10):
 
     r = many(args)
     jax.device_get(r.ravel()[0])
-    t0 = time.perf_counter()
-    r = many(args)
-    jax.device_get(r.ravel()[0])
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = many(args)
+        jax.device_get(r.ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timeit_looped(op, args, n1=20, n2=100):
+    """Slope between two scan lengths: cancels the ~30-40ms dispatch
+    overhead exactly (BENCHLOG round-3 methodology correction)."""
+    t1 = _timed_scan(op, args, n1)
+    t2 = _timed_scan(op, args, n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def main():

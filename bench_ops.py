@@ -25,9 +25,7 @@ def _setup():
         pass
 
 
-def timeit_looped(op, args, n=10):
-    """Mean per-op seconds over n in-jit iterations with carry dependence."""
-
+def _timed_scan(op, args, n):
     @jax.jit
     def many(args):
         def body(carry, _):
@@ -41,10 +39,26 @@ def timeit_looped(op, args, n=10):
 
     r = many(args)
     jax.device_get(r.ravel()[0])  # sync (block_until_ready unreliable here)
-    t0 = time.perf_counter()
-    r = many(args)
-    jax.device_get(r.ravel()[0])
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = many(args)
+        jax.device_get(r.ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timeit_looped(op, args, n1=20, n2=100):
+    """True per-op seconds: two scan lengths, slope extrapolation.
+
+    The relay's per-dispatch overhead is ~30-40 ms; dividing one scan's
+    wall time by n leaves +overhead/n of bias (n=10 fabricated a fake
+    'XLA conv is slow' result in round 3 — BENCHLOG). The slope between
+    two scan lengths cancels the constant overhead exactly.
+    """
+    t1 = _timed_scan(op, args, n1)
+    t2 = _timed_scan(op, args, n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def main():

@@ -29,7 +29,9 @@ def test_parser_three_level_merge(tmp_path, monkeypatch):
     assert args.filter_field == "jpeg"
     # base defaults kept where dataset has no override
     assert args.sample_batch_size == 8
-    assert args.ppo_clip_range == 1e-4
+    # round-3 default: noise-proportional retune of the reference's 1e-4
+    # for the bf16 defaults (config/base.py comment, bench_logp.py)
+    assert args.ppo_clip_range == 2e-4
 
 
 def test_parser_cli_extras_type_coercion(tmp_path, monkeypatch):
