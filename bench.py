@@ -1,19 +1,42 @@
-"""Benchmark: images/sec/chip for 50-step 512px DDIM sampling (headline).
+"""Benchmark: DDPO epoch throughput/chip — the reference's headline workload.
 
-Prints ONE JSON line:
-  {"metric": "images/sec/chip (50-step 512px DDIM, CFG)", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": N, ...}
+Prints ONE JSON line (always the LAST stdout line):
+  {"metric": "DDPO samples/sec/chip (50-step 512px sample + PPO epoch)",
+   "value": N, "unit": "samples/sec/chip", "vs_baseline": N, ...}
 
-Baseline semantics: the reference publishes no numbers (BASELINE.md), so the
-baseline is a faithful reference-style configuration measured on the same
-chip — float32 activations and XLA-only ops, matching the reference's
-defaults (config/base.py dtype "float32", diffusers XLA attention). The
-optimized path runs bfloat16 with the Pallas flash-attention/GroupNorm
-kernels. The baseline number is cached per device kind in
-bench_baseline.json (committed) so routine runs only time the optimized
-path; delete the file or set BENCH_REMEASURE=1 to re-measure both.
+A DDPO epoch is sample-then-train (reference pipeline/policy_gradient.py's
+outer loop): B trajectories of 50 DDIM steps with CFG, then one PPO inner
+epoch training every (sample, timestep) pair. At the reference's defaults
+(B=8, 50 steps, train_timestep_ratio 1.0) the TRAIN side dominates: ~69s
+of the fp32 epoch's ~77s compute. This bench therefore measures both
+phases and composes the epoch:
 
-Env overrides: BENCH_BATCH, BENCH_STEPS, BENCH_RES, BENCH_REPEATS.
+  T_epoch = B / sampler_imgs_per_sec + B * steps * per_sample_timestep_s
+
+Host-side reward scoring and advantage statistics are excluded — they are
+identical work in both configurations (and this framework's native-libjpeg
+scorer is faster besides). Sampling is timed in-process (phase logic
+unchanged from rounds 1-2 — `sampler_*` keys remain comparable to
+BENCH_r01/r02); the PPO-update phase runs bench_train.py in a subprocess
+for memory isolation and parses its JSON line. If the train phase cannot
+run (set BENCH_SAMPLER_ONLY=1, or subprocess failure/timeout
+BENCH_TRAIN_TIMEOUT, default 2400s), falls back to the round-1/2
+sampler-only metric.
+
+Baseline semantics: the reference publishes no numbers (BASELINE.md), so
+the baseline is a faithful reference-style configuration measured on the
+same chip — float32 activations, XLA-only ops, one dispatch per (batch,
+timestep) train slice, two-apply CFG, matching the reference's defaults
+(config/base.py dtype "float32", diffusers XLA attention, the
+training/policy_gradient.py:86-118 update shape). The optimized path is
+this framework's SHIPPED DEFAULT config: bfloat16 compute with Pallas
+flash attention forward+backward, fused timestep scan, one-concat CFG.
+Baseline numbers are cached per device kind in bench_baseline.json
+(committed) so routine runs only time the optimized path; set
+BENCH_REMEASURE=1 to re-measure.
+
+Env overrides: BENCH_BATCH, BENCH_STEPS, BENCH_RES, BENCH_REPEATS,
+TRAIN_BENCH_BS, TRAIN_BENCH_T, BENCH_SAMPLER_ONLY, BENCH_TRAIN_TIMEOUT.
 Weights are random at the exact SD-1.4 architecture (zero-egress: systems
 throughput is architecture-dependent, not weight-dependent).
 """
@@ -111,7 +134,8 @@ def time_sampler(dtype_name: str, steps: int, res: int, batch: int, repeats: int
     return batch / best, best
 
 
-def main():
+def measure_sampling():
+    """Phase 1: sampler img/s, optimized (bf16+Pallas) vs cached fp32 baseline."""
     jax = _setup_jax()
     device = jax.devices()[0]
     device_kind = getattr(device, "device_kind", str(device))
@@ -138,18 +162,97 @@ def main():
 
     ips, t_best = time_sampler("bfloat16", steps, res, batch, repeats)
     ref = baselines[key]["images_per_sec_chip"]
+    return {
+        "batch": batch, "steps": steps, "res": res,
+        "ips": ips, "ips_ref": ref, "batch_time_s": t_best,
+        "device": device_kind,
+    }
+
+
+def measure_training(res: int):
+    """Phase 2: PPO update per (sample, timestep), via bench_train.py.
+
+    Subprocess for memory isolation (the fp32 reference variant and the
+    fused bf16 variant each want most of the 16GB chip). Returns the parsed
+    JSON dict, or None if the phase failed/timed out/was disabled.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_SAMPLER_ONLY"):
+        return None
+    timeout = float(os.environ.get("BENCH_TRAIN_TIMEOUT", "2400"))
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_train.py")
+    env = dict(os.environ)
+    env.setdefault("TRAIN_BENCH_RES", str(res))
+    try:
+        proc = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print("# train phase timed out; falling back to sampler-only metric")
+        return None
+    if proc.returncode != 0:
+        print(f"# train phase failed (rc={proc.returncode}); sampler-only fallback")
+        print("\n".join(proc.stderr.splitlines()[-5:]))
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    print("# train phase printed no JSON; sampler-only fallback")
+    return None
+
+
+def main():
+    s = measure_sampling()
+    sampler_line = {
+        "metric": f"images/sec/chip ({s['steps']}-step {s['res']}px DDIM, CFG)",
+        "value": round(s["ips"], 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(s["ips"] / s["ips_ref"], 3),
+        "baseline_images_per_sec_chip": round(s["ips_ref"], 4),
+        "batch": s["batch"],
+        "batch_time_s": round(s["batch_time_s"], 3),
+        "device": s["device"],
+    }
+
+    t = measure_training(s["res"])
+    if t is None or t.get("vs_baseline") is None or t.get("baseline_ms") is None:
+        print(json.dumps(sampler_line))
+        return
+
+    # compose the DDPO epoch (see module docstring): per-sample-timestep
+    # train cost scaled by the reference's defaults (every timestep of
+    # every sample trained once per epoch, num_inner_epochs=1)
+    b, steps = s["batch"], s["steps"]
+    t_epoch_ref = b / s["ips_ref"] + b * steps * t["baseline_ms"] / 1e3
+    t_epoch_opt = b / s["ips"] + b * steps * t["value"] / 1e3
+    sps_ref = b / t_epoch_ref
+    sps_opt = b / t_epoch_opt
 
     print(
         json.dumps(
             {
-                "metric": f"images/sec/chip ({steps}-step {res}px DDIM, CFG)",
-                "value": round(ips, 4),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / ref, 3),
-                "baseline_images_per_sec_chip": round(ref, 4),
-                "batch": batch,
-                "batch_time_s": round(t_best, 3),
-                "device": device_kind,
+                "metric": (
+                    f"DDPO samples/sec/chip ({steps}-step {s['res']}px "
+                    "sample + PPO epoch)"
+                ),
+                "value": round(sps_opt, 4),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(sps_opt / sps_ref, 3),
+                "baseline_samples_per_sec_chip": round(sps_ref, 4),
+                "epoch_s": round(t_epoch_opt, 2),
+                "baseline_epoch_s": round(t_epoch_ref, 2),
+                # round-1/2-comparable sampler phase
+                "sampler_images_per_sec_chip": sampler_line["value"],
+                "sampler_vs_baseline": sampler_line["vs_baseline"],
+                # train phase (bench_train.py, default shipped config)
+                "train_ms_per_sample_timestep": t["value"],
+                "train_vs_baseline": t["vs_baseline"],
+                "batch": b,
+                "device": s["device"],
             }
         )
     )
