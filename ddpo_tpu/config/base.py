@@ -136,6 +136,9 @@ base = {
         "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
         "mesh_tp": 1,  # tensor-parallel axis size
         "mesh_sp": 1,  # sequence-parallel axis size (latent self-attention)
+        # "attention": per-attention shard_map, convs on gathered maps;
+        # "spatial": whole-UNet shard_map, H sharded, halo-exchange convs
+        "sp_mode": "attention",
         # Compute dtypes (master params/optimizer stay in `dtype`=fp32).
         # bf16 is the measured-sound default: on v5e at production geometry
         # the bf16 sampler is 1.14x and the bf16 fused train step 1.83x,

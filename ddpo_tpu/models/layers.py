@@ -33,10 +33,15 @@ class Conv3x3(nn.Module):
     module name), so checkpoints and the SD-1.4 manifest are unaffected;
     only the compute path changes (Pallas kernel on TPU at shapes where it
     measured faster than XLA's conv emitter, XLA otherwise).
+
+    spatial_axis: set when the H dim is sharded over a mesh axis inside a
+    shard_map (parallel/spatial.py) — the conv halo-exchanges one boundary
+    row per neighbor instead of relying on GSPMD gathers.
     """
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +57,7 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        return conv3x3(x, kernel, bias)
+        return conv3x3(x, kernel, bias, spatial_axis=self.spatial_axis)
 
 def timestep_embedding(
     timesteps: jnp.ndarray,
@@ -92,11 +97,16 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 stats, optionally fused with SiLU (Pallas on TPU)."""
+    """GroupNorm with fp32 stats, optionally fused with SiLU (Pallas on TPU).
+
+    spatial_axis: cross-shard psum of the moment partial sums when the
+    spatial dims are sharded over a mesh axis (parallel/spatial.py).
+    """
 
     num_groups: int = 32
     eps: float = 1e-5
     silu: bool = False
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -104,8 +114,14 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.silu:
-            return group_norm_silu(x, scale, bias, self.num_groups, self.eps)
-        return group_norm(x, scale, bias, self.num_groups, self.eps)
+            return group_norm_silu(
+                x, scale, bias, self.num_groups, self.eps,
+                spatial_axis=self.spatial_axis,
+            )
+        return group_norm(
+            x, scale, bias, self.num_groups, self.eps,
+            spatial_axis=self.spatial_axis,
+        )
 
 
 class ResnetBlock2D(nn.Module):
@@ -117,14 +133,16 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     use_time_emb: bool = True
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_channels = x.shape[-1]
         residual = x
+        sp = self.spatial_axis
 
-        h = GroupNorm(silu=True, name="norm1")(x)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(silu=True, spatial_axis=sp, name="norm1")(x)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, spatial_axis=sp, name="conv1")(h)
 
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
@@ -132,8 +150,8 @@ class ResnetBlock2D(nn.Module):
             )
             h = h + t[:, None, None, :]
 
-        h = GroupNorm(silu=True, name="norm2")(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = GroupNorm(silu=True, spatial_axis=sp, name="norm2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, spatial_axis=sp, name="conv2")(h)
 
         if in_channels != self.out_channels:
             residual = nn.Conv(
@@ -153,11 +171,16 @@ class CrossAttention(nn.Module):
     heads: int
     dim_head: int
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
+        # under spatial sharding, self-attention gathers K/V over the axis
+        # (exact softmax on local queries); cross-attention context (77 text
+        # tokens) is replicated per shard — nothing to gather
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
@@ -172,7 +195,9 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.heads, self.dim_head)
         v = v.reshape(b, sk, self.heads, self.dim_head)
 
-        out = attention_op(q, k, v)
+        out = attention_op(
+            q, k, v, spatial_axis=self.spatial_axis if is_self else None
+        )
         out = out.reshape(b, sq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
 
@@ -207,11 +232,13 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         attn = lambda name: CrossAttention(
-            self.heads, self.dim_head, dtype=self.dtype, name=name
+            self.heads, self.dim_head, dtype=self.dtype,
+            spatial_axis=self.spatial_axis, name=name,
         )
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
 
@@ -229,17 +256,22 @@ class Transformer2D(nn.Module):
     dim_head: int
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm(name="norm")(x)
+        x = GroupNorm(spatial_axis=self.spatial_axis, name="norm")(x)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        # H-major flatten: a local (h_local, w) shard is a contiguous slice
+        # of the global (h*w) sequence, so spatial attention's tiled K/V
+        # all-gather reconstructs the exact global token order
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads, self.dim_head, dtype=self.dtype,
+                spatial_axis=self.spatial_axis,
                 name=f"transformer_blocks_{i}",
             )(x, context)
         x = x.reshape(b, h, w, c)
@@ -248,17 +280,29 @@ class Transformer2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
-    """3x3 stride-2 conv (UNet variant: symmetric padding 1)."""
+    """3x3 stride-2 conv (UNet variant: symmetric padding 1).
+
+    Under spatial sharding the shard fetches only the previous neighbor's
+    last row (halo_top_row): with even local H every stride-2 window that
+    starts in a shard ends in it, and global SAME padding at even H never
+    reads the bottom pad row. Same nn.Conv module/params either way.
+    """
 
     channels: int
     dtype: jnp.dtype = jnp.float32
     asymmetric_pad: bool = False  # VAE encoder uses pad=(0,1) per side
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.asymmetric_pad:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             pad = ((0, 0), (0, 0))
+        elif self.spatial_axis is not None:
+            from ddpo_tpu.ops.spatial import halo_top_row
+
+            x = halo_top_row(x, self.spatial_axis)
+            pad = ((0, 0), (1, 1))
         else:
             pad = ((1, 1), (1, 1))
         return nn.Conv(
@@ -268,16 +312,25 @@ class Downsample2D(nn.Module):
 
 
 class Upsample2D(nn.Module):
-    """Nearest 2x upsample + 3x3 conv."""
+    """Nearest 2x upsample + 3x3 conv.
+
+    Nearest-neighbor 2x is shard-local under spatial sharding (output row r
+    reads input row r//2, which lives on the same shard); the conv halo-
+    exchanges as usual.
+    """
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return Conv3x3(self.channels, dtype=self.dtype, name="conv")(x)
+        return Conv3x3(
+            self.channels, dtype=self.dtype, spatial_axis=self.spatial_axis,
+            name="conv",
+        )(x)
 
 
 class VAESelfAttention(nn.Module):

@@ -32,6 +32,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ddpo_tpu.models.layers import (
+    Conv3x3,
     Downsample2D,
     GroupNorm,
     ResnetBlock2D,
@@ -72,22 +73,27 @@ class DownBlock2D(nn.Module):
     has_attn: bool
     add_downsample: bool
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, temb, context):
         residuals = []
         for j in range(self.num_layers):
             x = ResnetBlock2D(
-                self.out_channels, dtype=self.dtype, name=f"resnets_{j}"
+                self.out_channels, dtype=self.dtype,
+                spatial_axis=self.spatial_axis, name=f"resnets_{j}"
             )(x, temb)
             if self.has_attn:
                 x = Transformer2D(
                     self.heads, self.out_channels // self.heads, dtype=self.dtype,
-                    name=f"attentions_{j}",
+                    spatial_axis=self.spatial_axis, name=f"attentions_{j}",
                 )(x, context)
             residuals.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(
+                self.out_channels, dtype=self.dtype,
+                spatial_axis=self.spatial_axis, name="downsamplers_0",
+            )(x)
             residuals.append(x)
         return x, residuals
 
@@ -101,21 +107,26 @@ class UpBlock2D(nn.Module):
     has_attn: bool
     add_upsample: bool
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, residuals, temb, context):
         for j in range(self.num_layers):
             x = jnp.concatenate([x, residuals.pop()], axis=-1)
             x = ResnetBlock2D(
-                self.out_channels, dtype=self.dtype, name=f"resnets_{j}"
+                self.out_channels, dtype=self.dtype,
+                spatial_axis=self.spatial_axis, name=f"resnets_{j}"
             )(x, temb)
             if self.has_attn:
                 x = Transformer2D(
                     self.heads, self.out_channels // self.heads, dtype=self.dtype,
-                    name=f"attentions_{j}",
+                    spatial_axis=self.spatial_axis, name=f"attentions_{j}",
                 )(x, context)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(
+                self.out_channels, dtype=self.dtype,
+                spatial_axis=self.spatial_axis, name="upsamplers_0",
+            )(x)
         return x
 
 
@@ -123,21 +134,33 @@ class MidBlock2D(nn.Module):
     channels: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, temb, context):
-        x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_0")(x, temb)
+        sp = self.spatial_axis
+        x = ResnetBlock2D(
+            self.channels, dtype=self.dtype, spatial_axis=sp, name="resnets_0"
+        )(x, temb)
         x = Transformer2D(
             self.heads, self.channels // self.heads, dtype=self.dtype,
-            name="attentions_0",
+            spatial_axis=sp, name="attentions_0",
         )(x, context)
-        x = ResnetBlock2D(self.channels, dtype=self.dtype, name="resnets_1")(x, temb)
+        x = ResnetBlock2D(
+            self.channels, dtype=self.dtype, spatial_axis=sp, name="resnets_1"
+        )(x, temb)
         return x
 
 
 class UNet2DCondition(nn.Module):
+    """spatial_axis: run with H sharded over that mesh axis — the module
+    must then be applied INSIDE a shard_map (parallel/spatial.py wraps
+    this); convs halo-exchange, GroupNorm psums stats, self-attention
+    all-gathers K/V. Identical param tree either way."""
+
     config: UNetConfig = SD14_UNET
     dtype: jnp.dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -165,9 +188,9 @@ class UNet2DCondition(nn.Module):
             cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embedding"
         )(t_emb.astype(self.dtype))
 
-        x = nn.Conv(
-            cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
-            dtype=self.dtype, name="conv_in",
+        x = Conv3x3(
+            cfg.block_out_channels[0], dtype=self.dtype,
+            spatial_axis=self.spatial_axis, name="conv_in",
         )(x)
 
         residuals = [x]
@@ -180,12 +203,14 @@ class UNet2DCondition(nn.Module):
                 has_attn=cfg.down_block_has_attn[i],
                 add_downsample=i < n_blocks - 1,
                 dtype=self.dtype,
+                spatial_axis=self.spatial_axis,
                 name=f"down_blocks_{i}",
             )(x, temb, context)
             residuals.extend(res)
 
         x = MidBlock2D(
-            cfg.block_out_channels[-1], heads, dtype=self.dtype, name="mid_block"
+            cfg.block_out_channels[-1], heads, dtype=self.dtype,
+            spatial_axis=self.spatial_axis, name="mid_block",
         )(x, temb, context)
 
         reversed_channels = list(reversed(cfg.block_out_channels))
@@ -198,13 +223,16 @@ class UNet2DCondition(nn.Module):
                 has_attn=reversed_has_attn[i],
                 add_upsample=i < n_blocks - 1,
                 dtype=self.dtype,
+                spatial_axis=self.spatial_axis,
                 name=f"up_blocks_{i}",
             )(x, residuals, temb, context)
         assert not residuals
 
-        x = GroupNorm(silu=True, name="conv_norm_out")(x)
-        x = nn.Conv(
-            cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+        x = GroupNorm(
+            silu=True, spatial_axis=self.spatial_axis, name="conv_norm_out"
+        )(x)
+        x = Conv3x3(
+            cfg.out_channels, dtype=self.dtype, spatial_axis=self.spatial_axis,
             name="conv_out",
         )(x)
         return jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)  # -> NCHW

@@ -155,6 +155,15 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret, with_lse=False):
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ),
+        # the full K/V block ((1,1,sk_pad,d) x2, double-buffered) is VMEM-
+        # resident per program: at d>160 it exceeds the default 16M scoped
+        # guard (VAE single-head d=512 at S=4096 needs 18.7M — found on
+        # hardware, round 3). v5e has 128M VMEM; same lift as the backward.
+        compiler_params=(
+            None
+            if pltpu is None or interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(qf, kf, vf)
 
@@ -500,7 +509,9 @@ def _sharded_self_attention(q, k, v, scale):
     local_sq = q.shape[1] // _axis_size(mesh, seq_ax)
     local_sk = k.shape[1]  # gathered inside the shard
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_flash = on_tpu and local_sq >= 256 and local_sk >= 256
+    use_flash = (
+        on_tpu and local_sq >= 256 and local_sk >= 256 and q.shape[-1] <= 256
+    )
     if _FLASH_OVERRIDE is not None:
         use_flash = _FLASH_OVERRIDE
 
@@ -524,6 +535,7 @@ def attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    spatial_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Dispatching entry point used by the models.
 
@@ -532,7 +544,19 @@ def attention(
     bench_ops.py), XLA elsewhere (CPU tests, 77-token cross-attention).
     Under an active set_attention_sharding context, self-attention runs
     inside a shard_map over the configured tp/sp axes (Pallas-compatible).
+
+    spatial_axis: mesh axis name when ALREADY inside a shard_map with the
+    sequence dim sharded over it (parallel/spatial.py — self-attention
+    only): K/V are all-gathered over the axis (exact softmax on local
+    queries) and dispatch proceeds on the local shapes. Mutually exclusive
+    with the set_attention_sharding context (which shard_maps internally
+    and cannot nest).
     """
+    if spatial_axis is not None:
+        from ddpo_tpu.ops.spatial import gather_kv
+
+        k, v = gather_kv(k, v, spatial_axis)
+        return attention(q, k, v, scale, use_flash)
     if _SHARD_CTX is not None and q.shape[1] == k.shape[1]:
         out = _sharded_self_attention(q, k, v, scale)
         if out is not None:
@@ -543,7 +567,16 @@ def attention(
         # it through the kernel was measured 7% SLOWER end-to-end on v5e
         # (grid of tiny per-program KV work + extra fold transposes beats the
         # XLA softmax's HBM traffic at Sk=77). See BENCHLOG.md round 2.
-        use_flash = on_tpu and q.shape[1] >= 256 and k.shape[1] >= 256
+        # Head-dim gate: the kernel is measured profitable at the UNet head
+        # dims (D=40/80/160); the VAE's single-head D=512 spatial attention
+        # keeps 2 x S x D of K/V VMEM-resident per program and is better
+        # (and validated) on the XLA path — it runs once per decode.
+        use_flash = (
+            on_tpu
+            and q.shape[1] >= 256
+            and k.shape[1] >= 256
+            and q.shape[-1] <= 256
+        )
         if _FLASH_OVERRIDE is not None:
             use_flash = _FLASH_OVERRIDE
     if use_flash:

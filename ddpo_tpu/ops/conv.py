@@ -212,12 +212,30 @@ def _conv3x3_bwd(res, g):
 _conv3x3_pallas_op.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
-def conv3x3(x, w, bias=None):
+def conv3x3(x, w, bias=None, spatial_axis=None):
     """3x3 stride-1 SAME conv used by the model layers.
 
     Auto-dispatch: the Pallas kernel on TPU backends at shapes where it
     measured faster than XLA's conv emitter (bench_conv.py), XLA otherwise.
+
+    spatial_axis: mesh axis name when running INSIDE a shard_map with the
+    H dim sharded over it (parallel/spatial.py). The shard exchanges one
+    halo row with each H neighbor and convolves VALID over H — exactly
+    global SAME padding (ops/spatial.py docstring).
     """
+    if spatial_axis is not None:
+        from ddpo_tpu.ops.spatial import halo_exchange_rows
+
+        xh = halo_exchange_rows(x, spatial_axis)
+        out = jax.lax.conv_general_dilated(
+            xh, w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
     use_kernel = _CONV_OVERRIDE
     if use_kernel is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")

@@ -28,6 +28,7 @@ def group_norm(
     num_groups: int = 32,
     eps: float = 1e-5,
     silu: bool = False,
+    spatial_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """GroupNorm over an NHWC (or N...C) tensor; fp32 stats.
 
@@ -36,6 +37,11 @@ def group_norm(
     forces a physical relayout of the whole tensor on TPU — profiled at ~25%
     of sampler time — while the one-hot contraction rides the MXU and lets
     the normalize/affine/SiLU chain stay fused and copy-free.
+
+    spatial_axis: mesh axis name when the spatial dims are sharded over it
+    inside a shard_map (parallel/spatial.py): the per-(batch, group) moment
+    partial sums are psum'd so the statistics are the global ones (the
+    moments kernel still computes the local partial sums on-chip).
     """
     orig_dtype = x.dtype
     n, *spatial, c = x.shape
@@ -48,6 +54,11 @@ def group_norm(
     denom = float(s * gsize)
 
     sums, sq_sums = _moments(xf, g)
+    if spatial_axis is not None:
+        from ddpo_tpu.ops.spatial import psum_moments
+
+        sums, sq_sums, axis_n = psum_moments(sums, sq_sums, spatial_axis)
+        denom *= axis_n
     mean_g = sums / denom  # (n, g)
     var_g = sq_sums / denom - mean_g**2
 
@@ -246,8 +257,14 @@ def group_norm_silu(
     eps: float = 1e-5,
     use_kernel: Optional[bool] = None,
     interpret: bool = False,
+    spatial_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused GroupNorm+SiLU. Kernel on TPU when the map fits VMEM, else XLA."""
+    if spatial_axis is not None:
+        # sharded spatial dims: stats need a cross-shard psum (group_norm)
+        return group_norm(
+            x, scale, bias, num_groups, eps, silu=True, spatial_axis=spatial_axis
+        )
     n, *spatial, c = x.shape
     s = 1
     for d in spatial:

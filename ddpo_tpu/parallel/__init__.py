@@ -7,6 +7,7 @@ from ddpo_tpu.parallel.mesh import (
 )
 from ddpo_tpu.parallel.sequence import sequence_parallel_attention
 from ddpo_tpu.parallel.sharding import unet_partition_rules, shard_params
+from ddpo_tpu.parallel.spatial import make_spatial_unet_apply
 
 __all__ = [
     "MeshConfig",
@@ -15,6 +16,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "sequence_parallel_attention",
+    "make_spatial_unet_apply",
     "unet_partition_rules",
     "shard_params",
 ]

@@ -134,6 +134,21 @@ def main(argv=None):
     def train_unet_apply(p, latents, t, context):
         return train_model.apply({"params": p}, latents, t, context)
 
+    sp_spatial = mesh.shape["sp"] > 1 and (
+        getattr(args, "sp_mode", "attention") == "spatial"
+    )
+    if sp_spatial:
+        # --sp_mode spatial: ONE shard_map around the whole UNet forward
+        # with the latent H sharded over sp — convs halo-exchange a single
+        # boundary row, GroupNorm psums its moments, self-attention gathers
+        # K/V (parallel/spatial.py). The default --sp_mode attention instead
+        # shard_maps each attention call and leaves convs on GSPMD-gathered
+        # full feature maps (~32x more sp-axis traffic; ops/spatial.py).
+        from ddpo_tpu.parallel.spatial import make_spatial_unet_apply
+
+        unet_apply = make_spatial_unet_apply(mesh, models.unet)
+        train_unet_apply = make_spatial_unet_apply(mesh, train_model)
+
     if getattr(args, "remat", True):
         # trade recompute for activation memory: the full SD UNet fwd+bwd at
         # 512px does not fit a 16GB chip without it
@@ -188,7 +203,12 @@ def main(argv=None):
         "manual<->auto partitioner boundary miscounts conv weight grads 2x "
         "with two manual attention axes (ops/attention.py docstring)"
     )
-    if tp > 1 or sp > 1:
+    if sp_spatial:
+        print(
+            f"[ pg ] sp={sp} spatial: whole-UNet shard_map, latent H sharded "
+            "(halo convs + psum GroupNorm + gather attention)"
+        )
+    elif tp > 1 or sp > 1:
         # GSPMD cannot partition pallas_call operands, so self-attention runs
         # inside an inner shard_map over the tp (heads) / sp (sequence) axes:
         # per-device programs see concrete local shards and the Pallas flash

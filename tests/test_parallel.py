@@ -324,3 +324,102 @@ def test_attention_sharding_grad_matches_unsharded():
                 np.asarray(got[path]), np.asarray(leaf), atol=3e-5, rtol=3e-4,
                 err_msg=f"{axes} {path}",
             )
+
+
+def test_spatial_unet_forward_matches_unsharded():
+    """Whole-UNet spatial sharding (H over 'sp', halo-exchange convs, psum
+    GroupNorm, gathered-K/V attention) == the unsharded forward, including
+    through a downsample/upsample level. Also composed with a dp batch axis
+    and checked at sp=4 (odd-local-H geometry rejected with a clear error).
+    """
+    from ddpo_tpu.parallel import make_spatial_unet_apply
+    from ddpo_tpu.ops.spatial import validate_spatial_geometry
+
+    model = UNet2DCondition(TINY)
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(4, 4, 8, 8).astype(np.float32))
+    t = jnp.asarray(np.array([10, 10, 500, 801], np.int32))
+    ctx = jnp.asarray(rs.randn(4, 7, 32).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
+    ref = np.asarray(model.apply({"params": params}, x, t, ctx))
+
+    for cfg in (MeshConfig(dp=4, sp=2), MeshConfig(dp=2, sp=4)):
+        mesh = create_mesh(cfg)
+        apply_sp = make_spatial_unet_apply(mesh, model)
+        out = jax.jit(apply_sp)(params, x, t, ctx)
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=2e-5, rtol=2e-5,
+            err_msg=f"sp={cfg.sp}",
+        )
+
+    # H=8 with one downsample level cannot shard 8 ways (local H=1 is odd
+    # at the stride-2 level) — the validator must say so before tracing
+    with pytest.raises(ValueError, match="spatial sharding"):
+        validate_spatial_geometry(8, "sp", 8, levels=1)
+
+
+def test_spatial_unet_grad_matches_unsharded():
+    """Param grads through the whole-UNet shard_map == unsharded grads: the
+    halo ppermutes / moment psums / K-V all_gathers all have exact
+    transposes, and (unlike the sp+tp attention composition — see
+    test_attention_sharding_grad_matches_unsharded) there is no
+    manual<->auto partitioner boundary inside the model, so conv weight
+    grads are exact. This is what qualifies the spatial path for PPO
+    training, not just sampling."""
+    from ddpo_tpu.parallel import make_spatial_unet_apply
+
+    model = UNet2DCondition(TINY)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 4, 8, 8).astype(np.float32))
+    t = jnp.asarray(np.array([3, 11], np.int32))
+    ctx = jnp.asarray(rs.randn(2, 7, 32).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
+
+    ref_grads = jax.grad(
+        lambda p: jnp.mean(model.apply({"params": p}, x, t, ctx) ** 2)
+    )(params)
+
+    mesh = create_mesh(MeshConfig(dp=2, sp=2), devices=jax.devices()[:4])
+    apply_sp = make_spatial_unet_apply(mesh, model)
+    got_grads = jax.jit(
+        jax.grad(lambda p: jnp.mean(apply_sp(p, x, t, ctx) ** 2))
+    )(params)
+
+    got = dict(jax.tree_util.tree_leaves_with_path(got_grads))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(got[path]), np.asarray(leaf), atol=3e-5, rtol=3e-4,
+            err_msg=str(path),
+        )
+
+
+def test_spatial_sampler_matches_unsharded(tiny_setup):
+    """sample_trajectories with the spatially-sharded unet_apply must be
+    bit-compatible with the plain apply: the scheduler (and its noise) runs
+    at the GSPMD level on full latents, so the trajectory — latents,
+    log_probs — matches to fp tolerance."""
+    from ddpo_tpu.parallel import make_spatial_unet_apply
+    from ddpo_tpu.sampling.sampler import SamplerConfig, sample_trajectories
+
+    model, params, unet_apply, scheduler, sched_state, batch = tiny_setup
+    cfg = SamplerConfig(
+        num_inference_steps=5, guidance_scale=5.0, eta=1.0,
+        height=64, width=64, vae_scale_factor=8, latent_channels=4,
+    )
+    key = jax.random.PRNGKey(7)
+    ref = sample_trajectories(
+        unet_apply, params, scheduler, sched_state,
+        batch["prompt_embeds"][:4], batch["uncond_embeds"][:4], key, cfg,
+    )
+
+    mesh = create_mesh(MeshConfig(dp=4, sp=2))
+    apply_sp = make_spatial_unet_apply(mesh, model)
+    got = sample_trajectories(
+        apply_sp, params, scheduler, sched_state,
+        batch["prompt_embeds"][:4], batch["uncond_embeds"][:4], key, cfg,
+    )
+    for k in ("latents", "next_latents", "log_probs"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, rtol=1e-4,
+            err_msg=k,
+        )

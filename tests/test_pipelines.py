@@ -154,3 +154,27 @@ def test_policy_gradient_driver_sp2(workdir):
     ]
     kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
     assert kl < 1e-6, f"sp=2 run broke the on-policy invariant: kl={kl}"
+
+
+@pytest.mark.slow
+def test_policy_gradient_driver_sp2_spatial(workdir):
+    """--mesh_sp 2 --sp_mode spatial: the whole-UNet spatial sharding path
+    (H over sp, halo convs, psum GroupNorm) through sample AND train. The
+    on-policy invariant (recomputed logp == sampling logp => kl ~ 0) is the
+    correctness signal: it fails if the sharded forward of either pass
+    diverges from the other or from the recorded trajectory."""
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "1",
+                  "--train_batch_size", "1", "--save_freq", "1000",
+                  "--mesh_sp", "2", "--sp_mode", "spatial"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+    logdir = workdir / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    infos = [
+        np.load(f, allow_pickle=True).item()
+        for f in sorted((logdir / "train_info").iterdir())
+    ]
+    kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
+    assert kl < 1e-6, f"sp=2 spatial run broke the on-policy invariant: kl={kl}"
