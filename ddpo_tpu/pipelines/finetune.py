@@ -24,8 +24,9 @@ from ddpo_tpu.core.scheduler import DDPMScheduler
 from ddpo_tpu.data import get_bucket_loader
 from ddpo_tpu.parallel import MeshConfig, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import n_params, sharded_softmax
-from ddpo_tpu.utils import Progress
+from ddpo_tpu.utils import Progress, fs
 from ddpo_tpu.utils.checkpoints import save_unet
+from ddpo_tpu.utils.metrics import MetricsLogger
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
 from ddpo_tpu.utils.serialization import load_unet
@@ -128,6 +129,13 @@ def main(argv=None):
         f"{worker_batch_size} | pod bs {pod_batch_size} | steps {max_steps}"
     )
 
+    metrics_dir = (
+        "logs/" + args.savepath.replace("gs://", "")
+        if fs.is_remote(args.savepath)
+        else args.savepath
+    )
+    metrics = MetricsLogger(metrics_dir, enabled=jax.process_index() == 0)
+
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0
     for epoch in range(num_epochs):
@@ -177,6 +185,12 @@ def main(argv=None):
                 break
         progress.stamp()
         print(f"[ finetune ] epoch {epoch} loss {np.mean(losses):.5f}")
+        metrics.log(
+            epoch,
+            phase="finetune",
+            loss=float(np.mean(losses)),
+            global_step=int(global_step),
+        )
 
         if (epoch + 1) % args.save_freq == 0 or epoch == num_epochs - 1:
             save_unet(

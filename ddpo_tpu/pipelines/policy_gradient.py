@@ -40,6 +40,7 @@ from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
 from ddpo_tpu.training.stat_tracking import PerPromptStatTracker
 from ddpo_tpu.utils import Timer, fs
 from ddpo_tpu.utils.checkpoints import restore_train_state, save_train_state
+from ddpo_tpu.utils.metrics import MetricsLogger
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
 from ddpo_tpu.utils.serialization import load_unet
@@ -98,6 +99,7 @@ def main(argv=None):
     worker_id = jax.process_index()
     localpath = "logs/" + args.savepath.replace("gs://", "")
     os.makedirs(localpath, exist_ok=True)
+    metrics = MetricsLogger(localpath, enabled=worker_id == 0)
 
     # --------------------------------- models --------------------------------- #
     sample_dtype = _dtype(getattr(args, "sample_dtype", "bfloat16"))
@@ -396,6 +398,7 @@ def main(argv=None):
         # (one cheap cast per epoch halves weight traffic for bf16)
         sampling_params = cast_params(state.params)
         samples = []
+        sample_phase_time = 0.0
         for i in range(args.num_sample_batches_per_epoch):
             sample_prompts, training_prompts, prompt_metadata = training.make_prompts(
                 args.prompt_fn, sample_bs, args.identical_batch,
@@ -417,6 +420,7 @@ def main(argv=None):
             images = decode_fn(vae_params, traj["final_latents"])
             images = np.asarray(jax.device_get(images))
             sample_time = timer()
+            sample_phase_time += sample_time
 
             callbacks = executor.submit(
                 training.evaluate_callbacks, callback_fns, images,
@@ -508,6 +512,14 @@ def main(argv=None):
         mean_rewards.append(float(rewards.mean()))
         std_rewards.append(float(rewards.std()))
         print(f"[ pg ] epoch {epoch} mean reward: {rewards.mean():.4f}")
+        metrics.log(
+            epoch,
+            phase="sample",
+            mean_reward=float(rewards.mean()),
+            std_reward=float(rewards.std()),
+            n_samples=int(rewards.shape[0]),
+            sample_time_s=float(sample_phase_time),
+        )
 
         for name in ("rewards", "prompts", "callback_info"):
             np.save(
@@ -539,11 +551,21 @@ def main(argv=None):
                 all_processes_equal(
                     {k: v.mean() for k, v in infos.items()}, "train infos"
                 )
+                train_time = timer()
                 print(
                     f"[ pg ] epoch {epoch}.{inner_epoch} (resident): "
                     f"loss {infos['loss'].mean():.5f} | "
                     f"kl {infos['approx_kl'].mean():.2e} | "
-                    f"clipfrac {infos['clipfrac'].mean():.3f} | {timer():.2f}s"
+                    f"clipfrac {infos['clipfrac'].mean():.3f} | {train_time:.2f}s"
+                )
+                metrics.log(
+                    epoch,
+                    phase="train",
+                    inner_epoch=inner_epoch,
+                    loss=float(infos["loss"].mean()),
+                    approx_kl=float(infos["approx_kl"].mean()),
+                    clipfrac=float(infos["clipfrac"].mean()),
+                    train_time_s=float(train_time),
                 )
                 if worker_id == 0:
                     np.save(
@@ -636,6 +658,15 @@ def main(argv=None):
                 f"[ pg ] epoch {epoch}.{inner_epoch}: "
                 f"loss {infos['loss'].mean():.5f} | kl {infos['approx_kl'].mean():.2e} "
                 f"| clipfrac {infos['clipfrac'].mean():.3f} | {train_time:.2f}s"
+            )
+            metrics.log(
+                epoch,
+                phase="train",
+                inner_epoch=inner_epoch,
+                loss=float(infos["loss"].mean()),
+                approx_kl=float(infos["approx_kl"].mean()),
+                clipfrac=float(infos["clipfrac"].mean()),
+                train_time_s=float(train_time),
             )
             if worker_id == 0:
                 np.save(

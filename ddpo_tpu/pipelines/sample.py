@@ -22,8 +22,9 @@ from ddpo_tpu.models.tokenizer import make_uncond_ids
 from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import worker_sum
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
-from ddpo_tpu.utils import StreamingAverage, Timer, make_masker
+from ddpo_tpu.utils import StreamingAverage, Timer, fs, make_masker
 from ddpo_tpu.utils.images import decode_jpeg, encode_jpeg
+from ddpo_tpu.utils.metrics import MetricsLogger
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
 from ddpo_tpu.utils.serialization import load_unet
@@ -126,6 +127,13 @@ def main(argv=None):
     uncond_ids = make_uncond_ids(models.tokenizer, batch_size)
     uncond_embeds = np.asarray(text_encode(jnp.asarray(uncond_ids)))
 
+    metrics_dir = (
+        "logs/" + args.savepath.replace("gs://", "")
+        if fs.is_remote(args.savepath)
+        else args.savepath
+    )
+    metrics = MetricsLogger(metrics_dir, enabled=jax.process_index() == 0)
+
     masker = make_masker(args.mask_mode, args.mask_param)
     avg = StreamingAverage()
     timer = Timer()
@@ -174,6 +182,13 @@ def main(argv=None):
         print(
             f"[ sample ] batch {n_steps} | saved {n_added} | total "
             f"{int(n_samples)}/{args.max_samples} | avg {avg.avg:.3f} | {masker}"
+        )
+        metrics.log(
+            n_steps,
+            phase="sample",
+            mean_reward=float(rewards.mean()),
+            n_saved=int(n_added),
+            n_total=int(n_samples),
         )
 
         if args.max_steps is not None and n_steps >= args.max_steps:

@@ -49,6 +49,14 @@ def test_policy_gradient_driver(workdir):
     assert len(curve["mean"]) == 1
     assert (logdir / "rewards").is_dir()
     assert (logdir / "samples").is_dir()
+    # structured metrics stream: one sample event + one train event
+    from ddpo_tpu.utils.metrics import read_metrics
+
+    events = read_metrics(str(logdir))
+    phases = [e["phase"] for e in events]
+    assert "sample" in phases and "train" in phases
+    sample_ev = next(e for e in events if e["phase"] == "sample")
+    assert np.isfinite(sample_ev["mean_reward"])
     # full-state checkpoint written
     ckpt_root = workdir / "bucket" / "logs" / "debug-animals" / "models" / "pg"
     assert (ckpt_root / "checkpoints" / "0").exists()
