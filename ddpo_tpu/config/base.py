@@ -42,6 +42,30 @@ base = {
         "dtype": "bfloat16",
         "model_preset": "sd14",  # TPU-native default (reference used float32)
     },
+    # guidance-scale calibration sweep (pipelines/calibrate.py). Completes
+    # the loop the reference left external: it only *consumes* a calibrated
+    # scale (pipeline/sample.py:48-49 reads metadata.json via
+    # load_guidance_scale); this block produces that metadata.json.
+    "calibrate": {
+        "loadpath": "f:models/{iteration}",
+        "savepath": "f:models/{iteration}",
+        "load_epoch": "latest",
+        "pretrained_model": "duongna/stable-diffusion-v1-4-flax",
+        "prompt_kwargs": {},
+        "n_samples_per_device": 4,
+        "n_inference_steps": 50,
+        "eta": 1.0,
+        "resolution": 512,
+        "guidance_scales": None,  # None -> [1, 2, 3, 5, 8, 12]
+        "n_eval_batches": 1,
+        "identical_batch": False,
+        "iteration": 0,
+        "evaluate": True,
+        "cache": "cache",
+        "seed": None,
+        "dtype": "bfloat16",
+        "model_preset": "sd14",
+    },
     # sizes manifest builder (pipelines/save_sizes.py)
     "sizes": {
         "loadpath": "f:samples/{iteration}",
@@ -157,7 +181,7 @@ base = {
 
 
 def _dataset(logdir, prompt_fn, filter_field, prompt_kwargs=None,
-             sample=None, train=None, pg=None):
+             sample=None, train=None, pg=None, calibrate=None):
     cfg = {
         "common": {
             "logbase": f"{user.bucket}/logs/{logdir}",
@@ -167,6 +191,7 @@ def _dataset(logdir, prompt_fn, filter_field, prompt_kwargs=None,
         "sample": sample or {},
         "train": train or {},
         "pg": pg or {},
+        "calibrate": calibrate or {},
     }
     if prompt_kwargs is not None:
         cfg["common"]["prompt_kwargs"] = prompt_kwargs
@@ -300,6 +325,8 @@ debug_animals = _dataset(
     pg={"sample_batch_size": 2, "train_batch_size": 1, "n_inference_steps": 4,
         "resolution": 64, "num_train_epochs": 2,
         "per_prompt_stats_bufsize": None, "per_prompt_stats_min_count": None},
+    calibrate={"n_samples_per_device": 1, "n_inference_steps": 4,
+               "resolution": 64, "guidance_scales": [1.0, 7.5]},
 )
 debug_animals["common"]["model_preset"] = "tiny"
 debug_animals["common"]["dtype"] = "float32"

@@ -47,6 +47,14 @@ def main(argv=None):
     batch_size = args.n_samples_per_device * dp
     print(f"[ sample ] mesh dp={dp} | batch {batch_size}")
 
+    if args.guidance_scale == "auto":
+        # reference pipeline/sample.py:48-49: read the calibrated scale from
+        # the model dir's metadata.json (written by pipelines/calibrate.py)
+        from ddpo_tpu.utils.loaders import load_guidance_scale
+
+        args.set("guidance_scale", load_guidance_scale(args.loadpath))
+        print(f"[ sample ] calibrated guidance scale: {args.guidance_scale:g}")
+
     loadpath = None if args.iteration == 0 else args.loadpath
     models, params = load_unet(
         loadpath,
@@ -74,9 +82,7 @@ def main(argv=None):
     vae_scale = 2 ** (len(models.vae.config.block_out_channels) - 1)
     sampler_config = SamplerConfig(
         num_inference_steps=args.n_inference_steps,
-        guidance_scale=args.guidance_scale
-        if args.guidance_scale != "auto"
-        else 5.0,
+        guidance_scale=args.guidance_scale,
         eta=args.eta,
         height=args.resolution,
         width=args.resolution,

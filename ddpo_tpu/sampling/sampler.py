@@ -49,12 +49,18 @@ def sample_trajectories(
     key: jax.Array,
     config: SamplerConfig = SamplerConfig(),
     init_latents: Optional[jnp.ndarray] = None,
+    guidance_scale: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the full denoising chain, recording the policy trajectory.
 
     unet_apply(params, latents_2B, timesteps_2B, context_2B) -> eps_2B.
+
+    ``guidance_scale``, when given, overrides config.guidance_scale as a
+    TRACED scalar: sweeping scales (pipelines/calibrate.py) reuses one
+    compiled program instead of recompiling the 50-step scan per value.
     """
     cfg = config
+    scale = cfg.guidance_scale if guidance_scale is None else guidance_scale
     batch = prompt_embeds.shape[0]
     latent_h = cfg.height // cfg.vae_scale_factor
     latent_w = cfg.width // cfg.vae_scale_factor
@@ -81,7 +87,7 @@ def sample_trajectories(
 
         noise_pred = unet_apply(unet_params, latents_input, t_batch, context)
         eps_uncond, eps_text = jnp.split(noise_pred, 2, axis=0)
-        noise_pred = eps_uncond + cfg.guidance_scale * (eps_text - eps_uncond)
+        noise_pred = eps_uncond + scale * (eps_text - eps_uncond)
 
         rng, step_key = jax.random.split(rng)
         new_latents, log_prob = scheduler.step(
@@ -124,6 +130,7 @@ def sample_trajectories_sharded(
     uncond_embeds: jnp.ndarray,
     key: jax.Array,
     config: SamplerConfig = SamplerConfig(),
+    guidance_scale: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Data-parallel sampler via shard_map over the mesh's 'dp' axis.
 
@@ -141,17 +148,23 @@ def sample_trajectories_sharded(
 
     from ddpo_tpu.parallel.mesh import shard_map_compat
 
-    def local_sample(params, sched_state, local_prompts, local_uncond, key):
+    def local_sample(params, sched_state, local_prompts, local_uncond, key, scale):
         local_key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
         return sample_trajectories(
             unet_apply, params, scheduler, sched_state,
             local_prompts, local_uncond, local_key, config,
+            guidance_scale=scale,
         )
 
     sharded = shard_map_compat(
         local_sample,
         mesh,
-        in_specs=(P(), P(), P("dp"), P("dp"), P()),
+        in_specs=(P(), P(), P("dp"), P("dp"), P(), P()),
         out_specs=P("dp"),
     )
-    return sharded(unet_params, scheduler_state, prompt_embeds, uncond_embeds, key)
+    if guidance_scale is None:
+        guidance_scale = jnp.float32(config.guidance_scale)
+    return sharded(
+        unet_params, scheduler_state, prompt_embeds, uncond_embeds, key,
+        jnp.asarray(guidance_scale, jnp.float32),
+    )

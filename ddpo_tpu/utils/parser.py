@@ -55,7 +55,7 @@ def _coerce(val: str, old: Any) -> Any:
         return None
     if val == "latest":
         return "latest"
-    if isinstance(old, bool) or old is None:
+    if isinstance(old, (bool, list, tuple, dict)) or old is None:
         try:
             return eval(val)  # noqa: S307 - reference-compatible CLI coercion
         except Exception:

@@ -92,6 +92,38 @@ def test_rwr_chain(workdir):
     assert n2 >= 1
 
 
+def test_calibrate_then_auto_sample(workdir):
+    """calibrate sweeps guidance scales with paired prompts/noise, writes
+    calibration.json + metadata.json into the model dir; sample
+    --guidance_scale auto then resolves the calibrated scale from it
+    (reference pipeline/sample.py:48-49 semantics — the reference only
+    consumed metadata.json; calibrate is the producer it lacked)."""
+    import json as _json
+
+    from ddpo_tpu.pipelines import calibrate, sample
+
+    best, curve = calibrate.main(
+        COMMON + ["--guidance_scales", "[1.0, 7.5]", "--n_eval_batches", "2",
+                  "--n_samples_per_device", "1"]
+    )
+    assert best in (1.0, 7.5)
+    assert set(curve) == {1.0, 7.5}
+    assert all(np.isfinite(v["mean"]) for v in curve.values())
+
+    model_dir = workdir / "bucket" / "logs" / "debug-animals" / "models" / "0"
+    meta = _json.loads((model_dir / "metadata.json").read_text())
+    assert meta["guidance_scale"] == best
+    assert (model_dir / "calibration.json").exists()
+    assert (model_dir / "calibration.png").exists()
+
+    n = sample.main(
+        COMMON + ["--guidance_scale", "auto", "--max_steps", "1",
+                  "--n_samples_per_device", "1", "--local_size", "4",
+                  "--savepath", "samples/calib"]
+    )
+    assert n >= 1
+
+
 @pytest.mark.slow
 def test_policy_gradient_driver_tp2(workdir):
     """--mesh_tp 2 completes sample+train on the virtual 8-device mesh with

@@ -376,3 +376,45 @@ def test_cfg_concat_matches_two_apply(setup):
         float(info_cat["approx_kl"]), float(info_two["approx_kl"]),
         rtol=1e-4, atol=1e-9,
     )
+
+
+def test_traced_guidance_scale_matches_static(setup):
+    """The traced guidance_scale override (the calibrate sweep's no-recompile
+    path) produces bit-identical trajectories to baking the same value into
+    SamplerConfig."""
+    s = setup
+    override = jax.jit(
+        functools.partial(
+            sample_trajectories, s["unet_apply"], scheduler=s["scheduler"],
+            config=s["config"],  # config carries guidance_scale=5.0
+        )
+    )(
+        s["params"],
+        scheduler_state=s["sched_state"],
+        prompt_embeds=s["prompt_embeds"],
+        uncond_embeds=s["uncond_embeds"],
+        key=jax.random.PRNGKey(42),
+        guidance_scale=jnp.float32(5.0),
+    )
+    for key in ("final_latents", "log_probs"):
+        np.testing.assert_array_equal(
+            np.asarray(override[key]), np.asarray(s["traj"][key])
+        )
+
+    # and a DIFFERENT scale through the same compiled program changes output
+    other = jax.jit(
+        functools.partial(
+            sample_trajectories, s["unet_apply"], scheduler=s["scheduler"],
+            config=s["config"],
+        )
+    )(
+        s["params"],
+        scheduler_state=s["sched_state"],
+        prompt_embeds=s["prompt_embeds"],
+        uncond_embeds=s["uncond_embeds"],
+        key=jax.random.PRNGKey(42),
+        guidance_scale=jnp.float32(9.0),
+    )
+    assert not np.allclose(
+        np.asarray(other["final_latents"]), np.asarray(s["traj"]["final_latents"])
+    )
