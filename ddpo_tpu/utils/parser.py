@@ -171,19 +171,33 @@ class Parser:
     @staticmethod
     def _enable_compile_cache(args: Args) -> None:
         """Persistent XLA compile cache (reference: compilation_cache.
-        initialize_cache(args.cache), pipeline/policy_gradient.py:48)."""
-        cache = getattr(args, "cache", None)
+        initialize_cache(args.cache), pipeline/policy_gradient.py:48).
+
+        DDPO_TPU_COMPILE_CACHE overrides the per-run cache dir with a shared
+        one — the test suite sets it to tests/.jax_cache so driver e2e tests
+        reuse compiles across tests AND across runs (each pytest tmp cwd
+        would otherwise get a fresh, always-cold cache).
+        """
+        cache = os.environ.get("DDPO_TPU_COMPILE_CACHE") or getattr(
+            args, "cache", None
+        )
         if not cache:
             return
         try:
             import jax
 
             # jax rejects relative cache dirs with a warning; anchor to cwd
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.abspath(os.path.join(cache, "xla")),
-            )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+            if os.environ.get("DDPO_TPU_COMPILE_CACHE"):
+                # shared cache (test suite): keep caching aggressive — tiny
+                # CPU-preset programs compile in 2-10s each and recur
+                jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+            else:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.abspath(os.path.join(cache, "xla")),
+                )
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception:
             pass
 

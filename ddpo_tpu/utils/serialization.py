@@ -64,16 +64,19 @@ def _random_init_params(models: StableModels, seed: int = 0):
     ctx_dim = models.unet.config.cross_attention_dim
     ctx_len = models.text_encoder.config.max_position_embeddings
     k_unet, k_vae, k_text = jax.random.split(jax.random.PRNGKey(seed), 3)
-    unet_params = models.unet.init(
+    # jit the inits: eagerly they dispatch one micro-program per param
+    # (hundreds of ~40ms compiles); as one jitted program each they compile
+    # once and land in the persistent compile cache
+    unet_params = jax.jit(models.unet.init)(
         k_unet,
         jnp.zeros((1, 4, 8, 8)),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, ctx_len, ctx_dim)),
     )["params"]
-    vae_params = models.vae.init(
+    vae_params = jax.jit(models.vae.init)(
         k_vae, jnp.zeros((1, 3, 32, 32)), jax.random.PRNGKey(0)
     )["params"]
-    text_params = models.text_encoder.init(
+    text_params = jax.jit(models.text_encoder.init)(
         k_text, jnp.zeros((1, ctx_len), jnp.int32)
     )["params"]
     return {"unet": unet_params, "vae": vae_params, "text_encoder": text_params}

@@ -28,11 +28,17 @@ if os.environ.get("DDPO_TPU_TEST_BACKEND", "cpu") == "cpu":
 # wall time in XLA compilation of identical programs.
 import jax as _jax  # noqa: E402
 
-_jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+# persist EVERYTHING: suite profiling (JAX_LOG_COMPILES on the heavy tests)
+# showed ~1.5k eager micro-compiles of 40-100ms each per test module —
+# un-jitted model.init, scheduler math — totaling more wall time than the
+# big jitted programs; at threshold 0 they all become disk hits
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Driver e2e tests re-point the cache via Parser._enable_compile_cache; route
+# them to the SAME shared cache (each test's tmp cwd would otherwise start a
+# fresh, always-cold one — measured as the dominant suite cost).
+os.environ.setdefault("DDPO_TPU_COMPILE_CACHE", _CACHE_DIR)
 
 import numpy as np
 import pytest

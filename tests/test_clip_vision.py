@@ -49,7 +49,7 @@ def test_image_encoder_param_tree_shape():
         num_layers=2, num_heads=4, projection_dim=16,
     )
     enc = CLIPImageEncoder(cfg)
-    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
     assert set(params) == {"vision_model", "visual_projection"}
     out = enc.apply({"params": params}, jnp.zeros((2, 3, 32, 32)))
     assert out.shape == (2, 16)

@@ -39,7 +39,7 @@ def tiny_unet():
     x = jnp.zeros((2, 4, 8, 8))
     t = jnp.array([0, 10])
     ctx = jnp.zeros((2, 7, 32))
-    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, ctx)["params"]
     return model, params
 
 
@@ -111,7 +111,7 @@ def test_unet_sd14_param_count():
 def test_vae_roundtrip_shapes():
     model = AutoencoderKL(TINY_VAE)
     img = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 16, 16))
-    params = model.init(jax.random.PRNGKey(1), img, jax.random.PRNGKey(2))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), img, jax.random.PRNGKey(2))["params"]
 
     moments = model.apply({"params": params}, img, method=model.encode)
     assert moments.shape == (1, 8, 8, 8)  # 2x downsample (2 blocks), 8 moments

@@ -61,7 +61,7 @@ def test_sharded_softmax_matches_oracle():
 @pytest.fixture(scope="module")
 def tiny_setup():
     model = UNet2DCondition(TINY)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
         jnp.zeros((1, 7, 32)),
     )["params"]
@@ -239,7 +239,7 @@ def test_attention_sharding_context_matches_unsharded():
     x = rs.randn(4, 4, 8, 8).astype(np.float32)
     t = np.array([1, 5, 9, 13], np.int32)
     ctx = rs.randn(4, 7, 32).astype(np.float32)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(t[:1]),
         jnp.asarray(ctx[:1]),
     )["params"]
@@ -291,7 +291,7 @@ def test_attention_sharding_grad_matches_unsharded():
     x = rs.randn(2, 4, 8, 8).astype(np.float32)
     t = np.array([3, 11], np.int32)
     ctx = rs.randn(2, 7, 32).astype(np.float32)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(t[:1]),
         jnp.asarray(ctx[:1]),
     )["params"]
@@ -340,7 +340,7 @@ def test_spatial_unet_forward_matches_unsharded():
     x = jnp.asarray(rs.randn(4, 4, 8, 8).astype(np.float32))
     t = jnp.asarray(np.array([10, 10, 500, 801], np.int32))
     ctx = jnp.asarray(rs.randn(4, 7, 32).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
     ref = np.asarray(model.apply({"params": params}, x, t, ctx))
 
     for cfg in (MeshConfig(dp=4, sp=2), MeshConfig(dp=2, sp=4)):
@@ -373,7 +373,7 @@ def test_spatial_unet_grad_matches_unsharded():
     x = jnp.asarray(rs.randn(2, 4, 8, 8).astype(np.float32))
     t = jnp.asarray(np.array([3, 11], np.int32))
     ctx = jnp.asarray(rs.randn(2, 7, 32).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
 
     ref_grads = jax.grad(
         lambda p: jnp.mean(model.apply({"params": p}, x, t, ctx) ** 2)

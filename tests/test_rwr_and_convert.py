@@ -31,11 +31,11 @@ TEXT = CLIPTextConfig(
 def rwr_setup():
     unet = UNet2DCondition(TINY)
     text = CLIPTextModel(TEXT)
-    unet_params = unet.init(
+    unet_params = jax.jit(unet.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
         jnp.zeros((1, 77, 32)),
     )["params"]
-    text_params = text.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))[
+    text_params = jax.jit(text.init)(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))[
         "params"
     ]
 
@@ -217,7 +217,7 @@ def test_torch_conversion_runs_through_tiny_unet():
     from ddpo_tpu.models.convert import from_diffusers_torch
 
     model = UNet2DCondition(TINY)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), jnp.array([0]),
         jnp.zeros((1, 7, 32)),
     )["params"]

@@ -43,7 +43,7 @@ def setup():
     model = UNet2DCondition(TINY)
     x = jnp.zeros((1, 4, 8, 8))
     ctx = jnp.zeros((1, 7, 32))
-    params = model.init(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
 
     def unet_apply(p, latents, t, context):
         return model.apply({"params": p}, latents, t, context)

@@ -42,7 +42,7 @@ def sd_geometry_setup():
     latents = jnp.zeros((4, 4, 8, 8))
     ts = jnp.zeros((4,), jnp.int32)
     ctx = jnp.zeros((4, 77, 768))
-    params = model.init(jax.random.PRNGKey(0), latents, ts, ctx)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), latents, ts, ctx)["params"]
 
     def unet_apply(p, latents, t, context):
         return model.apply({"params": p}, latents, t, context)
