@@ -91,6 +91,17 @@ def test_rwr_chain(workdir):
     )
     assert n2 >= 1
 
+    # metrics streams landed for both RWR drivers
+    from ddpo_tpu.utils.metrics import read_metrics
+
+    base = workdir / "bucket" / "logs" / "debug-animals"
+    sample_events = read_metrics(str(base / "samples" / "0"))
+    assert sample_events and sample_events[0]["phase"] == "sample"
+    assert sample_events[-1]["n_total"] == n
+    finetune_events = read_metrics(str(base / "models" / "1"))
+    assert finetune_events and finetune_events[0]["phase"] == "finetune"
+    assert np.isfinite(finetune_events[0]["loss"])
+
 
 def test_calibrate_then_auto_sample(workdir):
     """calibrate sweeps guidance scales with paired prompts/noise, writes
