@@ -39,7 +39,11 @@ from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
 from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
 from ddpo_tpu.training.stat_tracking import PerPromptStatTracker
 from ddpo_tpu.utils import Timer, fs
-from ddpo_tpu.utils.checkpoints import restore_train_state, save_train_state
+from ddpo_tpu.utils.checkpoints import (
+    restore_train_state,
+    save_train_state,
+    wait_for_pending_saves,
+)
 from ddpo_tpu.utils.metrics import MetricsLogger
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
 from ddpo_tpu.utils.parser import Parser as BaseParser
@@ -681,6 +685,9 @@ def main(argv=None):
 
         # ============================ checkpointing ============================ #
         if (epoch + 1) % args.save_freq == 0 or epoch == args.num_train_epochs - 1:
+            # device->host copy is synchronous (the next train step donates
+            # the state buffers); the ~8.5GB serialization + disk write
+            # overlaps the next epoch (SURVEY 5.4: async full-state save)
             save_train_state(
                 ckpt_root,
                 epoch,
@@ -690,6 +697,7 @@ def main(argv=None):
                     "rng": jax.device_get(jax.random.key_data(sample_rng)),
                 },
                 host_state=host_checkpoint_state(),
+                block=False,
             )
 
         if worker_id == 0:
@@ -700,11 +708,15 @@ def main(argv=None):
         if fs.is_remote(args.savepath):
             # durable artifacts: stream everything under localpath (npy/png/
             # curves/checkpoints) to the bucket, asynchronously, process 0
-            # (reference async_to_bucket, utils/serialization.py:383-399)
+            # (reference async_to_bucket, utils/serialization.py:383-399).
+            # Join in-flight checkpoint writes first so the sync never ships
+            # a half-written Orbax dir.
             from ddpo_tpu.utils.serialization import async_to_bucket
 
+            wait_for_pending_saves()
             async_to_bucket(localpath, args.savepath)
 
+    wait_for_pending_saves()
     if fs.is_remote(args.savepath):
         from ddpo_tpu.utils.serialization import async_to_bucket
 

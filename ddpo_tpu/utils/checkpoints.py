@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Any, Optional
 
 import jax
@@ -27,9 +28,25 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+# in-flight async checkpoint writes (process-local); joined by
+# wait_for_pending_saves() and before any restore
+_PENDING: list = []
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every async save_train_state write has landed on disk.
+
+    Call before reading checkpoints back, syncing the savepath to a bucket
+    at shutdown, or exiting the process.
+    """
+    while _PENDING:
+        t = _PENDING.pop()
+        t.join()
+
+
 def save_train_state(
     savepath: str, step: int, payload: Any, host_state: Any = None,
-    all_workers: bool = False,
+    all_workers: bool = False, block: bool = True,
 ) -> Optional[str]:
     """Write one full-state checkpoint under savepath/checkpoints/<step>.
 
@@ -43,19 +60,35 @@ def save_train_state(
     (checkpoints/<step>_host.pkl): per-prompt stat buffers, reward-curve
     history, host RNG states — everything a true resume needs beyond the
     device state.
+
+    block=False (SURVEY §5.4's "async write" target): the device->host
+    transfer still happens synchronously — the caller's train step donates
+    the state buffers, so they must be copied out before training resumes —
+    but the serialization + disk write (the slow part at the 8.5GB SD-scale
+    state) runs on a background thread. Join with wait_for_pending_saves().
     """
     if jax.process_index() != 0 and not all_workers:
         return None
     path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
     payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
-    _checkpointer().save(path, payload, force=True)
-    if host_state is not None:
-        with open(f"{path}_host.pkl", "wb") as f:
-            pickle.dump(host_state, f)
+
+    def _write():
+        _checkpointer().save(path, payload, force=True)
+        if host_state is not None:
+            with open(f"{path}_host.pkl", "wb") as f:
+                pickle.dump(host_state, f)
+
+    if block:
+        _write()
+    else:
+        t = threading.Thread(target=_write, daemon=False, name=f"ckpt-{step}")
+        t.start()
+        _PENDING.append(t)
     return path
 
 
 def latest_checkpoint_step(savepath: str) -> Optional[int]:
+    wait_for_pending_saves()
     root = os.path.join(savepath, "checkpoints")
     if not os.path.isdir(root):
         return None
@@ -67,6 +100,7 @@ def restore_train_state(savepath: str, step: Optional[int] = None, target: Any =
     """Restore the newest (or given) checkpoint; returns (None, None) if
     absent. If a <step>_host.pkl exists its contents are merged into the
     restored dict under the "host" key."""
+    wait_for_pending_saves()
     if step is None:
         step = latest_checkpoint_step(savepath)
         if step is None:

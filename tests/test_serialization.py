@@ -106,3 +106,34 @@ def test_orbax_full_state_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored["state"].params),
     ):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_save_roundtrip(tmp_path):
+    """block=False checkpoints land identically: the device->host copy is
+    synchronous (train steps donate state buffers) but the Orbax write runs
+    on a background thread; restore/latest_checkpoint_step join in-flight
+    writes first (SURVEY 5.4: async full-state save)."""
+    from ddpo_tpu.utils.checkpoints import wait_for_pending_saves
+
+    payload = {
+        "epoch": 1,
+        "rng": np.array([3, 4], np.uint32),
+        "weights": np.arange(16, dtype=np.float32).reshape(4, 4),
+    }
+    save_train_state(str(tmp_path), 1, payload, host_state={"curve": [1.0]},
+                     block=False)
+    # queue a second async write; both must land
+    payload2 = dict(payload, epoch=2)
+    save_train_state(str(tmp_path), 2, payload2, block=False)
+
+    # latest_checkpoint_step joins the pending writes before listing
+    assert latest_checkpoint_step(str(tmp_path)) == 2
+    restored, step = restore_train_state(str(tmp_path), step=1)
+    assert step == 1 and int(restored["epoch"]) == 1
+    np.testing.assert_array_equal(
+        restored["weights"], payload["weights"]
+    )
+    assert restored["host"] == {"curve": [1.0]}
+    restored2, _ = restore_train_state(str(tmp_path), step=2)
+    assert int(restored2["epoch"]) == 2
+    wait_for_pending_saves()  # idempotent when the queue is empty
