@@ -8,7 +8,6 @@ dependence, jax.device_get sync (relay-safe).
 Run (real chip): PYTHONPATH=/root/repo:/root/.axon_site python bench_conv.py
 """
 
-import time
 
 import jax
 import jax.numpy as jnp
@@ -18,35 +17,10 @@ from ddpo_tpu.ops.conv import conv3x3_direct, conv3x3_xla
 jax.config.update("jax_compilation_cache_dir", "/tmp/ddpo_tpu_compile_cache")
 
 
-def _timed_scan(op, args, n):
-    @jax.jit
-    def many(args):
-        def body(carry, _):
-            x, rest = carry[0], carry[1:]
-            out = op(x, *rest)
-            x = x + (out.mean() * 1e-6).astype(x.dtype)
-            return (x, *rest), ()
-
-        carry, _ = jax.lax.scan(body, tuple(args), None, length=n)
-        return carry[0]
-
-    r = many(args)
-    jax.device_get(r.ravel()[0])
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        r = many(args)
-        jax.device_get(r.ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timeit_looped(op, args, n1=20, n2=100):
-    """Slope between two scan lengths: cancels the ~30-40ms dispatch
-    overhead exactly (BENCHLOG round-3 methodology correction)."""
-    t1 = _timed_scan(op, args, n1)
-    t2 = _timed_scan(op, args, n2)
-    return (t2 - t1) / (n2 - n1)
+# single source of truth for the slope-extrapolation methodology
+# (BENCHLOG round-3 correction): a future change to the sync method or
+# scan lengths must not fork between bench scripts
+from bench_ops import timeit_looped  # noqa: E402
 
 
 def main():

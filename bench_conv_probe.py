@@ -69,7 +69,7 @@ def p1(x, w9):
 
 
 def p2_kernel(x_ref, w_ref, o_ref):
-    acc = jnp.zeros((H * W, CIN), jnp.float32)
+    acc = jnp.zeros((H * W, COUT), jnp.float32)
     for dy in range(3):
         for i in range(3):
             win = x_ref[0, dy : dy + H].reshape(H * W, CIN)

@@ -131,12 +131,9 @@ def main(argv=None):
         mesh, jnp.asarray(_text_encode(text_params, jnp.asarray(uncond_ids)))
     )
 
-    metrics = MetricsLogger(
-        "logs/" + args.savepath.replace("gs://", "")
-        if fs.is_remote(args.savepath)
-        else args.savepath,
-        enabled=jax.process_index() == 0,
-    )
+    from ddpo_tpu.utils.metrics import run_dir
+
+    metrics = MetricsLogger(run_dir(args.savepath), enabled=jax.process_index() == 0)
 
     rng = jax.random.PRNGKey(args.seed or 0)
     timer = Timer()

@@ -24,7 +24,7 @@ from ddpo_tpu.core.scheduler import DDPMScheduler
 from ddpo_tpu.data import get_bucket_loader
 from ddpo_tpu.parallel import MeshConfig, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import n_params, sharded_softmax
-from ddpo_tpu.utils import Progress, fs
+from ddpo_tpu.utils import Progress
 from ddpo_tpu.utils.checkpoints import save_unet
 from ddpo_tpu.utils.metrics import MetricsLogger
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
@@ -129,12 +129,9 @@ def main(argv=None):
         f"{worker_batch_size} | pod bs {pod_batch_size} | steps {max_steps}"
     )
 
-    metrics_dir = (
-        "logs/" + args.savepath.replace("gs://", "")
-        if fs.is_remote(args.savepath)
-        else args.savepath
-    )
-    metrics = MetricsLogger(metrics_dir, enabled=jax.process_index() == 0)
+    from ddpo_tpu.utils.metrics import run_dir
+
+    metrics = MetricsLogger(run_dir(args.savepath), enabled=jax.process_index() == 0)
 
     rng = jax.random.PRNGKey(args.seed)
     global_step = 0

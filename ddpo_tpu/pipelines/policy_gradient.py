@@ -101,6 +101,9 @@ def main(argv=None):
     assert total_samples_per_epoch % train_effective_bs == 0
 
     worker_id = jax.process_index()
+    # the PG driver mirrors ALL artifacts under logs/ regardless of whether
+    # savepath is remote (reference pipeline/policy_gradient.py layout);
+    # metrics stream with the rest of them
     localpath = "logs/" + args.savepath.replace("gs://", "")
     os.makedirs(localpath, exist_ok=True)
     metrics = MetricsLogger(localpath, enabled=worker_id == 0)
@@ -170,8 +173,17 @@ def main(argv=None):
     state = AccumulatingTrainState.create(
         apply_fn=train_unet_apply, params=params["unet"], tx=optimizer,
         # the fp32 accumulation buffer (3.4GB at SD-1.4 scale) only exists
-        # when accumulation is actually configured
-        accumulate=args.train_accumulation_steps > 1,
+        # when something actually accumulates: explicit accumulation steps,
+        # or the non-fused non-resident host loop, which accumulates across
+        # the trained timesteps of each minibatch (one dispatch per
+        # timestep, update on the last — reference pipeline loop semantics)
+        accumulate=(
+            args.train_accumulation_steps > 1
+            or not (
+                getattr(args, "fused_train_loop", False)
+                or getattr(args, "resident_inner_loop", False)
+            )
+        ),
     )
     ckpt_root = args.savepath if not fs.is_remote(args.savepath) else localpath
     start_epoch = 0
@@ -203,6 +215,14 @@ def main(argv=None):
 
     from ddpo_tpu.parallel.sharding import place_train_state
 
+    # reset the process-global attention-sharding context: a previous main()
+    # in this process (test suite, in-process chaining) may have left a
+    # stale mesh behind, which would shard_map this run's attention over
+    # dead devices/axes
+    from ddpo_tpu.ops import set_attention_sharding
+
+    set_attention_sharding(None)
+
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
     assert not (tp > 1 and sp > 1), (
         "mesh_sp and mesh_tp cannot be combined for training: XLA's "
@@ -219,8 +239,6 @@ def main(argv=None):
         # inside an inner shard_map over the tp (heads) / sp (sequence) axes:
         # per-device programs see concrete local shards and the Pallas flash
         # kernel stays live (round 2 forced XLA here — VERDICT items #3/#6)
-        from ddpo_tpu.ops import set_attention_sharding
-
         set_attention_sharding(
             mesh,
             batch_axis="dp",

@@ -22,7 +22,7 @@ from ddpo_tpu.models.tokenizer import make_uncond_ids
 from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import worker_sum
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
-from ddpo_tpu.utils import StreamingAverage, Timer, fs, make_masker
+from ddpo_tpu.utils import StreamingAverage, Timer, make_masker
 from ddpo_tpu.utils.images import decode_jpeg, encode_jpeg
 from ddpo_tpu.utils.metrics import MetricsLogger
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
@@ -133,12 +133,9 @@ def main(argv=None):
     uncond_ids = make_uncond_ids(models.tokenizer, batch_size)
     uncond_embeds = np.asarray(text_encode(jnp.asarray(uncond_ids)))
 
-    metrics_dir = (
-        "logs/" + args.savepath.replace("gs://", "")
-        if fs.is_remote(args.savepath)
-        else args.savepath
-    )
-    metrics = MetricsLogger(metrics_dir, enabled=jax.process_index() == 0)
+    from ddpo_tpu.utils.metrics import run_dir
+
+    metrics = MetricsLogger(run_dir(args.savepath), enabled=jax.process_index() == 0)
 
     masker = make_masker(args.mask_mode, args.mask_param)
     avg = StreamingAverage()

@@ -31,17 +31,24 @@ def _checkpointer():
 # in-flight async checkpoint writes (process-local); joined by
 # wait_for_pending_saves() and before any restore
 _PENDING: list = []
+_PENDING_ERRORS: list = []
 
 
 def wait_for_pending_saves() -> None:
     """Block until every async save_train_state write has landed on disk.
 
     Call before reading checkpoints back, syncing the savepath to a bucket
-    at shutdown, or exiting the process.
+    at shutdown, or exiting the process. Re-raises the first error any
+    background write hit — a silently-lost checkpoint must not look like a
+    successful save.
     """
     while _PENDING:
         t = _PENDING.pop()
         t.join()
+    if _PENDING_ERRORS:
+        step, err = _PENDING_ERRORS.pop(0)
+        _PENDING_ERRORS.clear()
+        raise RuntimeError(f"async checkpoint write for step {step} failed") from err
 
 
 def save_train_state(
@@ -65,10 +72,15 @@ def save_train_state(
     transfer still happens synchronously — the caller's train step donates
     the state buffers, so they must be copied out before training resumes —
     but the serialization + disk write (the slow part at the 8.5GB SD-scale
-    state) runs on a background thread. Join with wait_for_pending_saves().
+    state) runs on a background thread. At most ONE write is in flight: a
+    new async save joins the previous one first, bounding host memory to a
+    single extra state copy. Write errors are re-raised at the next join
+    (wait_for_pending_saves / the next save / any restore).
     """
     if jax.process_index() != 0 and not all_workers:
         return None
+    # at most one in-flight write; also surfaces any earlier write error
+    wait_for_pending_saves()
     path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
     payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
 
@@ -80,10 +92,17 @@ def save_train_state(
 
     if block:
         _write()
-    else:
-        t = threading.Thread(target=_write, daemon=False, name=f"ckpt-{step}")
-        t.start()
-        _PENDING.append(t)
+        return path
+
+    def _write_captured():
+        try:
+            _write()
+        except Exception as e:  # re-raised at the next join
+            _PENDING_ERRORS.append((step, e))
+
+    t = threading.Thread(target=_write_captured, daemon=False, name=f"ckpt-{step}")
+    t.start()
+    _PENDING.append(t)
     return path
 
 

@@ -86,57 +86,35 @@ def put_file(local: str, remote: str) -> None:
     _gcs().put(local, remote)
 
 
+# per-(local, remote) registry of what this process already uploaded:
+# rel path -> (mtime, size) at upload time. Change detection compares the
+# LOCAL clock against itself, so it is immune to host-vs-GCS clock skew and
+# to the write-during-in-flight-sync race that comparing getmtime against
+# the remote object's 'updated' timestamp suffers (a file rewritten while
+# its previous version was uploading would otherwise be skipped forever).
+_UPLOADED: dict = {}
+
+
 def put_dir(local: str, remote: str, only_newer: bool = True) -> int:
     """Recursively upload local -> remote; returns the file count copied.
 
-    only_newer skips files whose remote copy is at least as new (cheap
-    incremental sync, the gsutil-rsync equivalent of the reference's
-    async_to_bucket).
+    only_newer skips files unchanged since this process last uploaded them
+    (cheap incremental sync, the gsutil-rsync equivalent of the reference's
+    async_to_bucket). The first sync of a process uploads everything once —
+    O(run artifacts) per restart, vs O(epochs^2) for unconditional re-upload
+    over a long run (reference uses gsutil rsync, serialization.py:383-399).
     """
     copied = 0
-    mtimes: dict[str, float] = {}
-    if only_newer:
-        if _fake_root() or not is_remote(remote):
-            base = _fake_path(remote) if is_remote(remote) else remote
-            for root, _, files in os.walk(base):
-                for f in files:
-                    p = os.path.join(root, f)
-                    mtimes[os.path.relpath(p, base)] = os.path.getmtime(p)
-        else:
-            # One bulk listing (paths + mtimes in a single LIST call) keeps
-            # the per-epoch artifact sync incremental on real GCS — per-file
-            # stat would be slow, and unconditional re-upload is O(epochs^2)
-            # volume over a long run (reference uses gsutil rsync,
-            # serialization.py:383-399).
-            try:
-                prefix = remote.rstrip("/") + "/"
-                for path, info in _gcs().find(remote, detail=True).items():
-                    if info.get("type") == "directory":
-                        continue
-                    m = info.get("mtime", info.get("updated"))
-                    if m is None:
-                        continue
-                    if isinstance(m, str):  # gcsfs ISO-8601 'updated'
-                        import datetime
-
-                        m = datetime.datetime.fromisoformat(
-                            m.replace("Z", "+00:00")
-                        )
-                    if hasattr(m, "timestamp"):
-                        m = m.timestamp()
-                    full = path if path.startswith("gs://") else "gs://" + path
-                    if full.startswith(prefix):
-                        mtimes[full[len(prefix):]] = float(m)
-            except FileNotFoundError:
-                pass  # nothing remote yet: upload everything
-
+    seen = _UPLOADED.setdefault((os.path.abspath(local), remote), {})
     for root, _, files in os.walk(local):
         for f in files:
             src = os.path.join(root, f)
             rel = os.path.relpath(src, local)
-            if rel in mtimes and os.path.getmtime(src) <= mtimes[rel]:
+            stamp = (os.path.getmtime(src), os.path.getsize(src))
+            if only_newer and seen.get(rel) == stamp:
                 continue
             put_file(src, os.path.join(remote, rel))
+            seen[rel] = stamp
             copied += 1
     return copied
 

@@ -31,6 +31,15 @@ def _coerce(value: Any):
     """Best-effort conversion of a logged value to a JSON-native scalar."""
     if isinstance(value, (bool, int, float, str)) or value is None:
         return value
+    # reject arrays of ANY positive rank — including shape-(1,): item()
+    # would silently accept those and then crash when the batch size
+    # changes; callers should reduce with .mean()/.item() explicitly
+    if getattr(value, "ndim", 0) != 0:
+        raise TypeError(
+            f"metrics values must be scalars; got {type(value).__name__} "
+            f"of shape {getattr(value, 'shape', '?')} (reduce arrays with "
+            ".mean()/.item() before logging)"
+        )
     # numpy scalars / 0-d arrays / 0-d jax arrays all expose item()
     item = getattr(value, "item", None)
     if item is not None:
@@ -38,12 +47,25 @@ def _coerce(value: Any):
             return item()
         except (TypeError, ValueError):
             pass
-    # 1-element sequences fall through to their repr — refuse silently
-    # lossy logging of tensors; callers should reduce first.
     raise TypeError(
         f"metrics values must be scalars; got {type(value).__name__} "
         f"(reduce arrays with .mean()/.item() before logging)"
     )
+
+
+def run_dir(savepath: str) -> str:
+    """Local directory for a run's metrics stream (sample/finetune/calibrate).
+
+    These drivers log next to their own artifacts: in savepath itself when
+    local, in the "logs/<bucket path>" local mirror when remote. (The PG
+    driver is intentionally different — it mirrors ALL artifacts under
+    logs/ even for local savepaths, reference layout — and keeps its own
+    localpath expression.) One definition for the three RWR-side drivers so
+    their streams never diverge.
+    """
+    if savepath.startswith("gs://"):
+        return "logs/" + savepath[len("gs://"):]
+    return savepath
 
 
 class MetricsLogger:

@@ -103,6 +103,23 @@ def test_rwr_chain(workdir):
     assert np.isfinite(finetune_events[0]["loss"])
 
 
+def test_policy_gradient_driver_nonfused(workdir):
+    """--fused_train_loop False (the reference-parity one-dispatch-per-
+    timestep loop) with train_accumulation_steps=1: the inner timestep loop
+    accumulates grads across timesteps with the optimizer firing on the
+    last, so the state MUST carry an accumulation buffer even though no
+    explicit accumulation is configured (regression: the lazy grad_acc
+    buffer was keyed on accumulation_steps>1 only and this path asserted)."""
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "1",
+                  "--train_batch_size", "1", "--save_freq", "1000",
+                  "--fused_train_loop", "False"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+
+
 def test_calibrate_then_auto_sample(workdir):
     """calibrate sweeps guidance scales with paired prompts/noise, writes
     calibration.json + metadata.json into the model dir; sample
