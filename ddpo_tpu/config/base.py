@@ -66,6 +66,32 @@ base = {
         "dtype": "bfloat16",
         "model_preset": "sd14",
     },
+    # generation-only inference (pipelines/generate.py). No reference
+    # counterpart as a standalone driver — the reference previews samples
+    # only inside the PG loop (pipeline/policy_gradient.py:300-305); users
+    # of a finetuned checkpoint need a way to just make images.
+    "generate": {
+        "loadpath": "f:models/{iteration}",
+        "savepath": "f:generations/{iteration}",
+        "load_epoch": "latest",
+        "pretrained_model": "duongna/stable-diffusion-v1-4-flax",
+        "prompt_kwargs": {},
+        "prompts": None,  # explicit list overrides prompt_fn
+        "n_samples": 8,
+        "n_samples_per_device": 4,
+        "n_inference_steps": 50,
+        "eta": 1.0,
+        "resolution": 512,
+        "guidance_scale": 5.0,  # or "auto" -> loadpath/metadata.json
+        "grid": True,  # also save one grid png per batch
+        "identical_batch": False,
+        "iteration": 0,
+        "evaluate": True,
+        "cache": "cache",
+        "seed": None,
+        "dtype": "bfloat16",
+        "model_preset": "sd14",
+    },
     # sizes manifest builder (pipelines/save_sizes.py)
     "sizes": {
         "loadpath": "f:samples/{iteration}",
@@ -181,7 +207,7 @@ base = {
 
 
 def _dataset(logdir, prompt_fn, filter_field, prompt_kwargs=None,
-             sample=None, train=None, pg=None, calibrate=None):
+             sample=None, train=None, pg=None, calibrate=None, generate=None):
     cfg = {
         "common": {
             "logbase": f"{user.bucket}/logs/{logdir}",
@@ -192,6 +218,7 @@ def _dataset(logdir, prompt_fn, filter_field, prompt_kwargs=None,
         "train": train or {},
         "pg": pg or {},
         "calibrate": calibrate or {},
+        "generate": generate or {},
     }
     if prompt_kwargs is not None:
         cfg["common"]["prompt_kwargs"] = prompt_kwargs
@@ -327,6 +354,8 @@ debug_animals = _dataset(
         "per_prompt_stats_bufsize": None, "per_prompt_stats_min_count": None},
     calibrate={"n_samples_per_device": 1, "n_inference_steps": 4,
                "resolution": 64, "guidance_scales": [1.0, 7.5]},
+    generate={"n_samples_per_device": 1, "n_inference_steps": 4,
+              "resolution": 64, "n_samples": 4},
 )
 debug_animals["common"]["model_preset"] = "tiny"
 debug_animals["common"]["dtype"] = "float32"

@@ -1,3 +1,8 @@
-from ddpo_tpu.sampling.sampler import SamplerConfig, sample_trajectories, vae_decode
+from ddpo_tpu.sampling.sampler import (
+    SamplerConfig,
+    sample_images,
+    sample_trajectories,
+    vae_decode,
+)
 
-__all__ = ["SamplerConfig", "sample_trajectories", "vae_decode"]
+__all__ = ["SamplerConfig", "sample_images", "sample_trajectories", "vae_decode"]

@@ -109,6 +109,65 @@ def sample_trajectories(
     }
 
 
+def sample_images(
+    unet_apply: Callable,
+    unet_params: Any,
+    scheduler: DDIMScheduler,
+    scheduler_state: DDIMState,
+    prompt_embeds: jnp.ndarray,
+    uncond_embeds: jnp.ndarray,
+    key: jax.Array,
+    config: SamplerConfig = SamplerConfig(),
+    guidance_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Generation-only denoising: final latents, NO trajectory recording.
+
+    Identical math and RNG stream to sample_trajectories (bit-equal final
+    latents at the same key — pinned by test), but the scan carries only
+    (latents, rng) and stacks nothing: the (B, T, 4, h, w) x2 trajectory
+    tensors (SURVEY.md section 7 "memory geometry" hard part) never exist,
+    so inference serving at large batch is not HBM-bound on bookkeeping
+    the trainer needs and the sampler-as-a-policy records.
+    """
+    # (calling sample_trajectories and dropping outputs would not help:
+    # the stacked tensors are returned from the compiled program, so XLA
+    # cannot dead-code-eliminate them)
+    cfg = config
+    scale = cfg.guidance_scale if guidance_scale is None else guidance_scale
+    batch = prompt_embeds.shape[0]
+    latent_h = cfg.height // cfg.vae_scale_factor
+    latent_w = cfg.width // cfg.vae_scale_factor
+
+    state = scheduler.set_timesteps(scheduler_state, cfg.num_inference_steps)
+    context = jnp.concatenate([uncond_embeds, prompt_embeds], axis=0)
+
+    key, init_key = jax.random.split(key)
+    init_latents = jax.random.normal(
+        init_key,
+        (batch, cfg.latent_channels, latent_h, latent_w),
+        dtype=jnp.float32,
+    )
+    latents = init_latents * state.init_noise_sigma
+
+    def loop_body(carry, t):
+        old_latents, rng = carry
+        latents_input = jnp.concatenate([old_latents] * 2)
+        t_batch = jnp.broadcast_to(t, (latents_input.shape[0],))
+        noise_pred = unet_apply(unet_params, latents_input, t_batch, context)
+        eps_uncond, eps_text = jnp.split(noise_pred, 2, axis=0)
+        noise_pred = eps_uncond + scale * (eps_text - eps_uncond)
+        rng, step_key = jax.random.split(rng)
+        new_latents, _ = scheduler.step(
+            state, noise_pred, t, old_latents, key=step_key, eta=cfg.eta
+        )
+        return (new_latents, rng), None
+
+    (final_latents, _), _ = jax.lax.scan(
+        loop_body, (latents, key), state.timesteps
+    )
+    return final_latents
+
+
 def vae_decode(vae_model, vae_params, latents: jnp.ndarray, scaling_factor: float = 0.18215):
     """Latents (B, 4, h, w) -> images (B, H, W, 3) in [0, 1].
 

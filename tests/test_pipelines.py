@@ -62,47 +62,6 @@ def test_policy_gradient_driver(workdir):
     assert (ckpt_root / "checkpoints" / "0").exists()
 
 
-def test_rwr_chain(workdir):
-    from ddpo_tpu.pipelines import finetune, sample, save_sizes
-
-    n = sample.main(
-        COMMON + ["--max_samples", "4", "--n_samples_per_device", "1",
-                  "--local_size", "4"]
-    )
-    assert n >= 4
-
-    manifest = save_sizes.main(["--dataset", "debug-animals"])
-    assert sum(manifest.values()) == n
-
-    # the train experiment block has no n_inference_steps key
-    finetune.main(
-        ["--dataset", "debug-animals", "--resolution", "32",
-         "--num_train_epochs", "1", "--train_batch_size", "1",
-         "--save_freq", "1"]
-    )
-    models_dir = workdir / "bucket" / "logs" / "debug-animals" / "models" / "1"
-    assert any(f.name.startswith("unet_") for f in models_dir.iterdir())
-
-    # iteration 1 loads the finetuned unet and samples again
-    n2 = sample.main(
-        COMMON + ["--iteration", "1", "--max_steps", "1",
-                  "--n_samples_per_device", "1", "--local_size", "4",
-                  "--savepath", "samples/1"]
-    )
-    assert n2 >= 1
-
-    # metrics streams landed for both RWR drivers
-    from ddpo_tpu.utils.metrics import read_metrics
-
-    base = workdir / "bucket" / "logs" / "debug-animals"
-    sample_events = read_metrics(str(base / "samples" / "0"))
-    assert sample_events and sample_events[0]["phase"] == "sample"
-    assert sample_events[-1]["n_total"] == n
-    finetune_events = read_metrics(str(base / "models" / "1"))
-    assert finetune_events and finetune_events[0]["phase"] == "finetune"
-    assert np.isfinite(finetune_events[0]["loss"])
-
-
 def test_policy_gradient_driver_nonfused(workdir):
     """--fused_train_loop False (the reference-parity one-dispatch-per-
     timestep loop) with train_accumulation_steps=1: the inner timestep loop
@@ -118,38 +77,6 @@ def test_policy_gradient_driver_nonfused(workdir):
                   "--fused_train_loop", "False"]
     )
     assert len(rewards) == 1 and np.isfinite(rewards[0])
-
-
-def test_calibrate_then_auto_sample(workdir):
-    """calibrate sweeps guidance scales with paired prompts/noise, writes
-    calibration.json + metadata.json into the model dir; sample
-    --guidance_scale auto then resolves the calibrated scale from it
-    (reference pipeline/sample.py:48-49 semantics — the reference only
-    consumed metadata.json; calibrate is the producer it lacked)."""
-    import json as _json
-
-    from ddpo_tpu.pipelines import calibrate, sample
-
-    best, curve = calibrate.main(
-        COMMON + ["--guidance_scales", "[1.0, 7.5]", "--n_eval_batches", "2",
-                  "--n_samples_per_device", "1"]
-    )
-    assert best in (1.0, 7.5)
-    assert set(curve) == {1.0, 7.5}
-    assert all(np.isfinite(v["mean"]) for v in curve.values())
-
-    model_dir = workdir / "bucket" / "logs" / "debug-animals" / "models" / "0"
-    meta = _json.loads((model_dir / "metadata.json").read_text())
-    assert meta["guidance_scale"] == best
-    assert (model_dir / "calibration.json").exists()
-    assert (model_dir / "calibration.png").exists()
-
-    n = sample.main(
-        COMMON + ["--guidance_scale", "auto", "--max_steps", "1",
-                  "--n_samples_per_device", "1", "--local_size", "4",
-                  "--savepath", "samples/calib"]
-    )
-    assert n >= 1
 
 
 @pytest.mark.slow

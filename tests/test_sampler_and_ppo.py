@@ -418,3 +418,27 @@ def test_traced_guidance_scale_matches_static(setup):
     assert not np.allclose(
         np.asarray(other["final_latents"]), np.asarray(s["traj"]["final_latents"])
     )
+
+
+def test_sample_images_matches_trajectory_sampler(setup):
+    """The lean generation path (no trajectory recording) is bit-identical
+    to the trainer's sampler at the same key: same math, same RNG stream,
+    just no per-step stacked outputs occupying HBM."""
+    from ddpo_tpu.sampling import sample_images
+
+    s = setup
+    final = jax.jit(
+        functools.partial(
+            sample_images,
+            s["unet_apply"], scheduler=s["scheduler"], config=s["config"],
+        )
+    )(
+        s["params"],
+        scheduler_state=s["sched_state"],
+        prompt_embeds=s["prompt_embeds"],
+        uncond_embeds=s["uncond_embeds"],
+        key=jax.random.PRNGKey(42),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final), np.asarray(s["traj"]["final_latents"])
+    )
