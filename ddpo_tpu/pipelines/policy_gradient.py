@@ -409,6 +409,24 @@ def main(argv=None):
 
     profile_dir = getattr(args, "profile_dir", None)
 
+    # Preemption safety (beyond the reference — SURVEY 5.3: "a worker crash
+    # kills the run"): TPU VMs get preempted with a SIGTERM grace window.
+    # The handler only sets a flag; the loop checkpoints the full state at
+    # the next epoch boundary and exits cleanly, so --resume True continues
+    # exactly where the preempted run stopped.
+    import signal as _signal
+
+    shutdown_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        shutdown_requested["flag"] = True
+        print("[ pg ] SIGTERM: checkpointing at the epoch boundary, then exiting")
+
+    try:
+        prev_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (embedded use): skip the hook
+        prev_sigterm = None
+
     timer = Timer()
     for epoch in range(start_epoch, args.num_train_epochs):
         if profile_dir and epoch == start_epoch + 1:
@@ -702,7 +720,11 @@ def main(argv=None):
             jax.profiler.stop_trace()
 
         # ============================ checkpointing ============================ #
-        if (epoch + 1) % args.save_freq == 0 or epoch == args.num_train_epochs - 1:
+        if (
+            (epoch + 1) % args.save_freq == 0
+            or epoch == args.num_train_epochs - 1
+            or shutdown_requested["flag"]
+        ):
             # device->host copy is synchronous (the next train step donates
             # the state buffers); the ~8.5GB serialization + disk write
             # overlaps the next epoch (SURVEY 5.4: async full-state save)
@@ -734,6 +756,12 @@ def main(argv=None):
             wait_for_pending_saves()
             async_to_bucket(localpath, args.savepath)
 
+        if shutdown_requested["flag"]:
+            print(f"[ pg ] graceful shutdown after epoch {epoch} (checkpointed)")
+            break
+
+    if prev_sigterm is not None:
+        _signal.signal(_signal.SIGTERM, prev_sigterm)
     wait_for_pending_saves()
     if fs.is_remote(args.savepath):
         from ddpo_tpu.utils.serialization import async_to_bucket

@@ -118,3 +118,43 @@ def test_remote_savepath_artifacts_land_in_bucket(workdir, monkeypatch):
 
 def builtins_open(path):
     return open(path, "rb")
+
+
+@pytest.mark.slow
+def test_sigterm_checkpoints_and_resumes(workdir, monkeypatch):
+    """Preemption safety (beyond the reference): SIGTERM mid-run sets a
+    flag, the driver checkpoints at the epoch boundary and exits cleanly,
+    and --resume True continues from exactly that epoch. The signal is
+    raised deterministically from inside epoch 1's prompt generation."""
+    import os
+    import signal
+
+    from ddpo_tpu import training
+    from ddpo_tpu.pipelines import policy_gradient
+
+    real_make_prompts = training.make_prompts
+    calls = {"n": 0}
+
+    def sigterm_on_second_call(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first sample batch of epoch 1
+            os.kill(os.getpid(), signal.SIGTERM)
+        return real_make_prompts(*a, **kw)
+
+    monkeypatch.setattr(training, "make_prompts", sigterm_on_second_call)
+    rewards = policy_gradient.main(COMMON + ["--num_train_epochs", "3"])
+    monkeypatch.setattr(training, "make_prompts", real_make_prompts)
+
+    # stopped after epoch 1 of 3, with a checkpoint for epoch 1
+    assert len(rewards) == 2
+    ckpt_root = workdir / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    assert (ckpt_root / "checkpoints" / "1").exists()
+    # the handler was restored (pytest's own SIGTERM disposition back)
+    assert signal.getsignal(signal.SIGTERM) is not None
+
+    rewards_resumed = policy_gradient.main(
+        COMMON + ["--num_train_epochs", "3", "--resume", "True"]
+    )
+    # continues with epochs 2 only (epochs 0-1 already done)
+    assert len(rewards_resumed) == 3
+    assert rewards_resumed[:2] == rewards
