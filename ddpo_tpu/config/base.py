@@ -200,6 +200,11 @@ base = {
         "train_dtype": "bfloat16",  # PPO-recompute compute dtype
         "profile_dir": None,  # jax.profiler trace output
         "resume": False,  # restore full train state from savepath
+        # keep only the newest N full-state checkpoints on local disk
+        # (~8.5GB each at SD scale); 0 = keep all (reference behavior,
+        # keep=1e6 at pipeline/policy_gradient.py:461). Remote copies
+        # already synced to the bucket are never deleted.
+        "keep_checkpoints": 0,
         "model_preset": "sd14",  # "tiny" for CPU smoke tests
         "remat": True,  # rematerialize UNet activations in the PPO backward
     },

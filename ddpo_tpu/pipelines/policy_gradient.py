@@ -739,6 +739,10 @@ def main(argv=None):
                 host_state=host_checkpoint_state(),
                 block=False,
             )
+            if getattr(args, "keep_checkpoints", 0) > 0:
+                from ddpo_tpu.utils.checkpoints import prune_checkpoints
+
+                prune_checkpoints(ckpt_root, args.keep_checkpoints)
 
         if worker_id == 0:
             _plot_rewards(mean_rewards, std_rewards, localpath, worker_id)

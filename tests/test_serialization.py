@@ -137,3 +137,27 @@ def test_async_save_roundtrip(tmp_path):
     restored2, _ = restore_train_state(str(tmp_path), step=2)
     assert int(restored2["epoch"]) == 2
     wait_for_pending_saves()  # idempotent when the queue is empty
+
+
+def test_prune_checkpoints(tmp_path):
+    """keep_checkpoints: all but the newest N full-state checkpoints are
+    deleted (incl. the _host.pkl sidecars); keep<=0 disables; restore still
+    finds the newest surviving step."""
+    from ddpo_tpu.utils.checkpoints import prune_checkpoints
+
+    for step in range(5):
+        save_train_state(
+            str(tmp_path), step,
+            {"epoch": step, "w": np.full(4, step, np.float32)},
+            host_state={"s": step},
+        )
+    assert prune_checkpoints(str(tmp_path), keep=0) == 0
+    assert prune_checkpoints(str(tmp_path), keep=2) == 3
+    root = tmp_path / "checkpoints"
+    assert sorted(d.name for d in root.iterdir() if d.is_dir()) == ["3", "4"]
+    assert not (root / "0_host.pkl").exists()
+    assert (root / "4_host.pkl").exists()
+    restored, step = restore_train_state(str(tmp_path))
+    assert step == 4 and int(restored["epoch"]) == 4
+    # pruning more than exist keeps everything that remains
+    assert prune_checkpoints(str(tmp_path), keep=10) == 0
