@@ -113,6 +113,9 @@ base = {
         "num_train_epochs": 40,
         "max_train_steps": None,
         "learning_rate": 1e-5,
+        "lr_schedule": "constant",  # | "linear" | "cosine" (see pg block)
+        "lr_warmup_steps": 0,
+        "lr_total_steps": None,
         "beta1": 0.9,
         "beta2": 0.999,
         "weight_decay": 1e-4,
@@ -169,6 +172,11 @@ base = {
         "ppo_clip_range": 2e-4,
         "train_cfg": True,
         "learning_rate": 1e-5,
+        # "constant" (reference) | "linear" | "cosine"; warmup in optimizer
+        # steps; decaying schedules need --lr_total_steps (the horizon)
+        "lr_schedule": "constant",
+        "lr_warmup_steps": 0,
+        "lr_total_steps": None,
         "beta1": 0.9,
         "beta2": 0.999,
         "weight_decay": 1e-4,

@@ -16,7 +16,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax.training.train_state import TrainState
 
 from ddpo_tpu import training
@@ -77,14 +76,9 @@ def main(argv=None):
             args.filter_field, args.temperature, args.per_prompt_weights
         )
 
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(args.max_grad_norm),
-        optax.adamw(
-            learning_rate=optax.constant_schedule(args.learning_rate),
-            b1=args.beta1, b2=args.beta2, eps=args.epsilon,
-            weight_decay=args.weight_decay, mu_dtype=jnp.bfloat16,
-        ),
-    )
+    from ddpo_tpu.training.optim import build_optimizer
+
+    optimizer = build_optimizer(args)
 
     def unet_apply(p, latents, t, context):
         return models.unet.apply({"params": p}, latents, t, context)

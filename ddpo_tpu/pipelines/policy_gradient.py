@@ -29,13 +29,13 @@ from concurrent import futures
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ddpo_tpu import training
 from ddpo_tpu.core.scheduler import DDIMScheduler
 from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import all_processes_equal, n_params
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
+from ddpo_tpu.training.optim import build_optimizer
 from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
 from ddpo_tpu.training.stat_tracking import PerPromptStatTracker
 from ddpo_tpu.utils import Timer, fs
@@ -58,21 +58,6 @@ class Parser(BaseParser):
 
 def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
-
-
-def build_optimizer(args):
-    schedule = optax.constant_schedule(args.learning_rate)
-    optim = {
-        "adamw": lambda: optax.adamw(
-            learning_rate=schedule, b1=args.beta1, b2=args.beta2,
-            eps=args.epsilon, weight_decay=args.weight_decay,
-            mu_dtype=jnp.bfloat16,
-        ),
-        "adafactor": lambda: optax.adafactor(
-            learning_rate=schedule, weight_decay_rate=args.weight_decay
-        ),
-    }[args.optimizer]()
-    return optax.chain(optax.clip_by_global_norm(args.max_grad_norm), optim)
 
 
 def main(argv=None):
