@@ -80,6 +80,7 @@ base = {
         "n_samples": 8,
         "n_samples_per_device": 4,
         "n_inference_steps": 50,
+        "scheduler": "ddim",  # or "dpm++": DPM-Solver++(2M), ~20 steps enough
         "eta": 1.0,
         "resolution": 512,
         "guidance_scale": 5.0,  # or "auto" -> loadpath/metadata.json

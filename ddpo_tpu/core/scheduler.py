@@ -296,6 +296,186 @@ class DDIMScheduler:
         return sqrt_alpha * noise - sqrt_one_minus * sample
 
 
+@flax.struct.dataclass
+class DPMSolverState:
+    """Immutable DPM-Solver++ state.
+
+    Boundary arrays have ``num_inference_steps + 1`` entries: index ``i`` is
+    the noise level the i-th model call starts from; the final entry is the
+    t=0 target level. ``timesteps`` (length T) is the descending model-call
+    grid in train-timestep units.
+    """
+
+    alphas_cumprod: jnp.ndarray
+    timesteps: jnp.ndarray
+    lambdas: jnp.ndarray  # log(alpha/sigma) per boundary, ascending
+    alphas: jnp.ndarray  # sqrt(alpha_bar) per boundary
+    sigmas: jnp.ndarray  # sqrt(1 - alpha_bar) per boundary
+    init_noise_sigma: jnp.ndarray
+    num_inference_steps: Optional[int] = flax.struct.field(
+        pytree_node=False, default=None
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverPlusPlus:
+    """DPM-Solver++(2M): deterministic second-order multistep ODE sampler.
+
+    Lu et al. 2022 (arXiv:2211.01095), data-prediction multistep variant —
+    the standard few-step *inference* sampler for latent diffusion (~20
+    steps match 50-step DDIM quality). This is an inference-only capability
+    beyond the reference (which samples exclusively with 50-step stochastic
+    DDIM, scheduling_ddim_flax.py): DDPO *training* needs the DDIM
+    Gaussian-policy log-probs and keeps DDIMScheduler; generation/eval
+    drivers can cut model calls ~2.5x with this solver.
+
+    Functional API mirrors DDIMScheduler (create_state / set_timesteps /
+    step) but ``step`` is multistep: it takes the *step index* into the
+    inference grid plus the previous step's x0 estimate, and returns the
+    new sample together with this step's x0 estimate for the caller's scan
+    carry. First step — and, following standard practice for short grids,
+    the final step when num_inference_steps < 15 — falls back to first
+    order (which equals eta=0 DDIM in x0 form).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"
+    grid: str = "karras"  # or "linspace"
+    karras_rho: float = 7.0
+    dtype: jnp.dtype = jnp.float32
+
+    def create_state(self) -> DPMSolverState:
+        betas = make_betas(
+            self.num_train_timesteps,
+            self.beta_start,
+            self.beta_end,
+            self.beta_schedule,
+            self.dtype,
+        )
+        alphas_cumprod = jnp.cumprod(1.0 - betas, axis=0)
+        timesteps = jnp.arange(self.num_train_timesteps)[::-1]
+        empty = jnp.zeros((0,), self.dtype)
+        return DPMSolverState(
+            alphas_cumprod=alphas_cumprod,
+            timesteps=timesteps,
+            lambdas=empty,
+            alphas=empty,
+            sigmas=empty,
+            init_noise_sigma=jnp.array(1.0, dtype=self.dtype),
+        )
+
+    def set_timesteps(
+        self, state: DPMSolverState, num_inference_steps: int
+    ) -> DPMSolverState:
+        """Build the inference grid; both variants start at t = T-1.
+
+        grid="karras" (default): boundaries geometric-ish in noise-to-signal
+        sigma (Karras et al. 2022, rho=7), which concentrates steps at low
+        noise where the x0-prediction still changes fastest. On the Gaussian
+        analytic toy (tests/test_dpm.py) 8 Karras steps beat 32 uniform-t
+        DDIM steps by ~7x in endpoint error — uniform-t grids under-resolve
+        the final log-SNR stretch, which is exactly the few-step regime this
+        solver exists for. Model calls use the nearest integer train
+        timestep per boundary.
+
+        grid="linspace": evenly-spaced timesteps over [0, T-1] (the common
+        multistep-solver default elsewhere), kept for comparison.
+        """
+        n = num_inference_steps
+        if self.grid == "linspace":
+            grid = (
+                jnp.linspace(0.0, self.num_train_timesteps - 1, n + 1)
+                .round()
+                .astype(jnp.int32)[::-1]
+            )  # (n+1,) descending, grid[-1] == 0
+            ac = state.alphas_cumprod[grid]
+            alphas = ac**0.5
+            sigmas = (1.0 - ac) ** 0.5
+            lambdas = jnp.log(alphas) - jnp.log(sigmas)
+            timesteps = grid[:-1]
+        elif self.grid == "karras":
+            rho = self.karras_rho
+            sig_kd = ((1.0 - state.alphas_cumprod) / state.alphas_cumprod) ** 0.5
+            smax, smin = sig_kd[-1], sig_kd[0]
+            ramp = jnp.linspace(0.0, 1.0, n + 1)
+            s = (
+                smax ** (1.0 / rho) + ramp * (smin ** (1.0 / rho) - smax ** (1.0 / rho))
+            ) ** rho  # (n+1,) descending noise-to-signal ratios
+            alphas = 1.0 / (1.0 + s**2) ** 0.5
+            sigmas = s * alphas
+            lambdas = -jnp.log(s)
+            # nearest train timestep per model-call boundary (sig_kd is
+            # strictly increasing in t)
+            idx = jnp.clip(
+                jnp.searchsorted(sig_kd, s[:-1]), 1, self.num_train_timesteps - 1
+            )
+            pick_lo = (s[:-1] - sig_kd[idx - 1]) < (sig_kd[idx] - s[:-1])
+            timesteps = jnp.where(pick_lo, idx - 1, idx).astype(jnp.int32)
+        else:
+            raise ValueError(f"unknown grid {self.grid!r} (karras|linspace)")
+        return state.replace(
+            timesteps=timesteps,
+            lambdas=lambdas.astype(self.dtype),
+            alphas=alphas.astype(self.dtype),
+            sigmas=sigmas.astype(self.dtype),
+            num_inference_steps=n,
+        )
+
+    def _pred_x0(self, eps_or_other, sample, alpha, sigma):
+        if self.prediction_type == "epsilon":
+            return (sample - sigma * eps_or_other) / alpha
+        if self.prediction_type == "sample":
+            return eps_or_other
+        if self.prediction_type == "v_prediction":
+            return alpha * sample - sigma * eps_or_other
+        raise ValueError(f"unknown prediction_type: {self.prediction_type}")
+
+    def step(
+        self,
+        state: DPMSolverState,
+        model_output: jnp.ndarray,
+        step_index: jnp.ndarray,
+        sample: jnp.ndarray,
+        prev_x0: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One solver step: ``(new_sample, x0_estimate)``.
+
+        ``step_index`` is a (traced) index into the inference grid —
+        scan-friendly, unlike timestep-keyed lookups. ``prev_x0`` is the x0
+        estimate returned by the previous call (any value at step 0; ignored
+        there).
+        """
+        if state.num_inference_steps is None:
+            raise ValueError("call set_timesteps before step")
+        i = step_index
+        alpha_i = state.alphas[i]
+        sigma_i = state.sigmas[i]
+        x0 = self._pred_x0(model_output, sample, alpha_i, sigma_i)
+
+        lam_i = state.lambdas[i]
+        lam_next = state.lambdas[i + 1]
+        lam_prev = state.lambdas[jnp.maximum(i - 1, 0)]
+        h = lam_next - lam_i
+        h_prev = lam_i - lam_prev
+        r = jnp.where(h_prev == 0.0, 1.0, h_prev / h)
+
+        ratio = state.sigmas[i + 1] / sigma_i
+        phi = jnp.expm1(-h)  # exp(-h) - 1 < 0
+        first = ratio * sample - state.alphas[i + 1] * phi * x0
+        # 2M midpoint correction: D1 = (x0 - prev_x0) / r
+        second = ratio * sample - state.alphas[i + 1] * phi * (
+            x0 + 0.5 * (x0 - prev_x0) / r
+        )
+
+        use_first = i == 0
+        if state.num_inference_steps < 15:
+            use_first = use_first | (i == state.num_inference_steps - 1)
+        return jnp.where(use_first, first, second), x0
+
+
 @dataclasses.dataclass(frozen=True)
 class DDPMScheduler:
     """Forward-noising schedule for RWR supervised finetuning.

@@ -34,7 +34,7 @@ from ddpo_tpu import training
 from ddpo_tpu.models.tokenizer import make_uncond_ids
 from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.mesh import maybe_initialize_distributed
-from ddpo_tpu.sampling import SamplerConfig, sample_images, vae_decode
+from ddpo_tpu.sampling import SamplerConfig, sample_images, sample_images_ode, vae_decode
 from ddpo_tpu.utils import Timer
 from ddpo_tpu.utils.images import save_image, save_images
 from ddpo_tpu.utils.metrics import MetricsLogger, run_dir
@@ -74,7 +74,26 @@ def main(argv=None):
         seed=args.seed,
         model_preset=getattr(args, "model_preset", "sd14"),
     )
-    scheduler = models.scheduler
+    scheduler_kind = getattr(args, "scheduler", "ddim")
+    if scheduler_kind == "dpm++":
+        # deterministic few-step ODE solver for inference; same noise
+        # schedule as the checkpoint's DDIM config
+        from ddpo_tpu.core.scheduler import DPMSolverPlusPlus
+
+        d = models.scheduler
+        scheduler = DPMSolverPlusPlus(
+            num_train_timesteps=d.num_train_timesteps,
+            beta_start=d.beta_start,
+            beta_end=d.beta_end,
+            beta_schedule=d.beta_schedule,
+            prediction_type=d.prediction_type,
+        )
+        sample_fn = sample_images_ode
+    elif scheduler_kind == "ddim":
+        scheduler = models.scheduler
+        sample_fn = sample_images
+    else:
+        raise ValueError(f"unknown scheduler {scheduler_kind!r} (ddim|dpm++)")
     sched_state = jax.device_put(scheduler.create_state(), replicated(mesh))
     act_dtype = _dtype(getattr(args, "dtype", "bfloat16"))
     unet_params = jax.device_put(
@@ -99,7 +118,7 @@ def main(argv=None):
     )
     generate_fn = jax.jit(
         functools.partial(
-            sample_images, unet_apply, scheduler=scheduler, config=sampler_config
+            sample_fn, unet_apply, scheduler=scheduler, config=sampler_config
         )
     )
     decode_fn = jax.jit(functools.partial(vae_decode, models.vae))
@@ -176,6 +195,7 @@ def main(argv=None):
                     "prompts": all_prompts,
                     "guidance_scale": float(args.guidance_scale),
                     "n_inference_steps": args.n_inference_steps,
+                    "scheduler": scheduler_kind,
                     "seed": args.seed,
                 },
                 f, indent=2,

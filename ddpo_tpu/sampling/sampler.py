@@ -168,6 +168,66 @@ def sample_images(
     return final_latents
 
 
+def sample_images_ode(
+    unet_apply: Callable,
+    unet_params: Any,
+    scheduler,  # core.scheduler.DPMSolverPlusPlus
+    scheduler_state,
+    prompt_embeds: jnp.ndarray,
+    uncond_embeds: jnp.ndarray,
+    key: jax.Array,
+    config: SamplerConfig = SamplerConfig(),
+    guidance_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Deterministic few-step generation via DPM-Solver++(2M).
+
+    Same CFG batching / init-noise RNG stream as sample_images, but the
+    scan carries the multistep solver state (latents, previous x0 estimate)
+    and runs ``num_inference_steps`` model calls of a second-order ODE
+    solver — ~20 steps match 50-step DDIM quality in the latent-diffusion
+    literature, a ~2.5x cut in UNet calls for inference. Training keeps the
+    stochastic DDIM policy (the PPO log-probs need it); this path serves
+    pipelines/generate.py. config.eta is ignored (the solver is the eta=0
+    probability-flow ODE).
+    """
+    cfg = config
+    scale = cfg.guidance_scale if guidance_scale is None else guidance_scale
+    batch = prompt_embeds.shape[0]
+    latent_h = cfg.height // cfg.vae_scale_factor
+    latent_w = cfg.width // cfg.vae_scale_factor
+
+    state = scheduler.set_timesteps(scheduler_state, cfg.num_inference_steps)
+    context = jnp.concatenate([uncond_embeds, prompt_embeds], axis=0)
+
+    key, init_key = jax.random.split(key)
+    latents = (
+        jax.random.normal(
+            init_key,
+            (batch, cfg.latent_channels, latent_h, latent_w),
+            dtype=jnp.float32,
+        )
+        * state.init_noise_sigma
+    )
+
+    def loop_body(carry, i):
+        old_latents, prev_x0 = carry
+        t = state.timesteps[i]
+        latents_input = jnp.concatenate([old_latents] * 2)
+        t_batch = jnp.broadcast_to(t, (latents_input.shape[0],))
+        noise_pred = unet_apply(unet_params, latents_input, t_batch, context)
+        eps_uncond, eps_text = jnp.split(noise_pred, 2, axis=0)
+        noise_pred = eps_uncond + scale * (eps_text - eps_uncond)
+        new_latents, x0 = scheduler.step(state, noise_pred, i, old_latents, prev_x0)
+        return (new_latents, x0), None
+
+    (final_latents, _), _ = jax.lax.scan(
+        loop_body,
+        (latents, jnp.zeros_like(latents)),
+        jnp.arange(cfg.num_inference_steps),
+    )
+    return final_latents
+
+
 def vae_decode(vae_model, vae_params, latents: jnp.ndarray, scaling_factor: float = 0.18215):
     """Latents (B, 4, h, w) -> images (B, H, W, 3) in [0, 1].
 
