@@ -98,8 +98,10 @@ base = {
         "loadpath": "f:samples/{iteration}",
         "iteration": 0,
     },
-    # RWR supervised finetuning (pipelines/finetune.py)
+    # RWR supervised finetuning (pipelines/finetune.py). lora_rank as in
+    # the pg block: 0 = full finetune, >0 = rank-r attention adapters.
     "train": {
+        "lora_rank": 0,
         "modelpath": "f:models/{iteration}",
         "loadpath": "f:samples/{iteration}",
         "savepath": "f:models/{iteration+1}",
@@ -172,6 +174,12 @@ base = {
         # reference's noise-to-trust-region ratio under the bf16 defaults.
         "ppo_clip_range": 2e-4,
         "train_cfg": True,
+        # 0 = full finetune (reference behavior). >0 trains rank-r LoRA
+        # adapters on the attention projections only (models/lora.py):
+        # ~300x smaller optimizer/checkpoint state and dp all-reduces at
+        # r=8; base UNet frozen. LoRA runs typically want a larger lr
+        # (~1e-4 vs 1e-5) — set --learning_rate explicitly.
+        "lora_rank": 0,
         "learning_rate": 1e-5,
         # "constant" (reference) | "linear" | "cosine"; warmup in optimizer
         # steps; decaying schedules need --lr_total_steps (the horizon)

@@ -503,6 +503,10 @@ def _sharded_self_attention(q, k, v, scale):
         heads_ax = None
     if seq_ax and (q.shape[1] % mesh.shape[seq_ax] or k.shape[1] % mesh.shape[seq_ax]):
         seq_ax = None
+    if batch_ax and q.shape[0] % mesh.shape[batch_ax]:
+        # e.g. a batch-1 trace (init, single-sample preview) while the ctx
+        # is active: leave the batch dim to GSPMD rather than erroring
+        batch_ax = None
     if not (heads_ax or seq_ax):
         return None  # nothing to shard beyond what GSPMD already does
 

@@ -42,6 +42,12 @@ def _dtype(name: str):
 
 def main(argv=None):
     maybe_initialize_distributed()
+    # clear any attention-sharding context left by a previous driver
+    # main() in this process (e.g. a tp/sp policy-gradient run in the
+    # test suite) before any model trace
+    from ddpo_tpu.ops import set_attention_sharding as _reset_attn
+
+    _reset_attn(None)
     args = Parser().parse_args("train", argv)
     mesh = create_mesh(MeshConfig(tp=1))
     dp = mesh.shape["dp"]
@@ -83,6 +89,28 @@ def main(argv=None):
     def unet_apply(p, latents, t, context):
         return models.unet.apply({"params": p}, latents, t, context)
 
+    lora_rank = int(getattr(args, "lora_rank", 0) or 0)
+    if lora_rank:
+        # rank-r adapters on the attention projections; base UNet frozen.
+        # Same merge-at-apply mechanism as the pg driver (models/lora.py) —
+        # the TrainState holds only the small adapter tree.
+        from ddpo_tpu.models.lora import init_lora, merge_lora, n_lora_params
+
+        base_unet_params = jax.device_put(params["unet"], replicated(mesh))
+        lora_params0 = init_lora(
+            base_unet_params, lora_rank, jax.random.PRNGKey(args.seed or 0)
+        )
+        print(
+            f"[ finetune ] lora: rank {lora_rank}, "
+            f"{n_lora_params(lora_params0)/1e6:.2f}M trainable (base frozen)"
+        )
+        _full_unet_apply = unet_apply
+
+        def unet_apply(p, latents, t, context):
+            return _full_unet_apply(
+                merge_lora(base_unet_params, p), latents, t, context
+            )
+
     if getattr(args, "remat", True):
         unet_apply = jax.checkpoint(unet_apply)
 
@@ -90,7 +118,9 @@ def main(argv=None):
         return models.text_encoder.apply({"params": p}, ids)
 
     state = TrainState.create(
-        apply_fn=unet_apply, params=params["unet"], tx=optimizer
+        apply_fn=unet_apply,
+        params=lora_params0 if lora_rank else params["unet"],
+        tx=optimizer,
     )
     state = jax.device_put(state, replicated(mesh))
     text_params = jax.device_put(params["text_encoder"], replicated(mesh))
@@ -184,8 +214,15 @@ def main(argv=None):
         )
 
         if (epoch + 1) % args.save_freq == 0 or epoch == num_epochs - 1:
+            # lora: export the MERGED full UNet so the next RWR iteration's
+            # sampler loads it with no adapter knowledge (reference handoff
+            # format, pipeline/sample.py load path)
+            export_params = (
+                jax.jit(merge_lora)(base_unet_params, state.params)
+                if lora_rank else state.params
+            )
             save_unet(
-                args.savepath, state.params, all_workers=True,
+                args.savepath, export_params, all_workers=True,
                 epoch=(epoch + 1) // args.save_freq * args.save_freq,
             )
         if global_step >= max_steps:

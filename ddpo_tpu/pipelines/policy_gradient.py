@@ -62,6 +62,15 @@ def _dtype(name: str):
 
 def main(argv=None):
     maybe_initialize_distributed()
+    # reset the process-global attention-sharding context BEFORE any model
+    # is traced: a previous main() in this process (test suite, in-process
+    # chaining) may have left a stale mesh behind, and load_unet's jitted
+    # init would otherwise shard_map this run's attention over dead
+    # devices/axes (observed: a tp=2 run leaking into the next run's
+    # batch-1 init trace -> shard_map divisibility error)
+    from ddpo_tpu.ops import set_attention_sharding as _reset_attn
+
+    _reset_attn(None)
     args = Parser().parse_args("pg", argv)
     mesh = create_mesh(MeshConfig(
         tp=getattr(args, "mesh_tp", 1), sp=getattr(args, "mesh_sp", 1)
@@ -143,6 +152,66 @@ def main(argv=None):
         unet_apply = make_spatial_unet_apply(mesh, models.unet)
         train_unet_apply = make_spatial_unet_apply(mesh, train_model)
 
+    lora_rank = int(getattr(args, "lora_rank", 0) or 0)
+    if lora_rank:
+        # LoRA: freeze the base UNet, train rank-r adapters on the attention
+        # projections (models/lora.py). The TrainState holds ONLY the small
+        # adapter tree — optimizer moments / grads / checkpoints shrink
+        # ~300x at r=8 and dp all-reduces move ~300x fewer bytes. The merge
+        # (kernel + A@B*scale) happens inside the jitted step, so gradients
+        # flow to the adapters through the unchanged apply/step code paths.
+        assert mesh.shape["tp"] == 1, (
+            "lora_rank requires tp=1: adapters replicate and the frozen base "
+            "stays whole (tp shards full-finetune states instead)"
+        )
+        from ddpo_tpu.models.lora import init_lora, merge_lora, n_lora_params
+
+        # frozen weights never take an optimizer update, so they need no
+        # fp32 master copy: when sampling and training share a compute dtype
+        # (the shipped bf16 default) store the base AT that dtype — 1.7GB
+        # instead of 3.4GB at SD scale. Both the sampler's merge and the
+        # trainer's merge then read the SAME base values, preserving the
+        # matched-numerics on-policy invariant. Mixed-dtype configs keep the
+        # master-dtype base and cast at use, exactly like full finetuning.
+        base_store_dtype = (
+            train_dtype if train_dtype == sample_dtype else _dtype(args.dtype)
+        )
+        base_unet_params = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: x.astype(base_store_dtype), params["unet"]
+            ),
+            replicated(mesh),
+        )
+        lora_params0 = init_lora(
+            base_unet_params, lora_rank, jax.random.PRNGKey(args.seed)
+        )
+        print(
+            f"[ pg ] lora: rank {lora_rank}, "
+            f"{n_lora_params(lora_params0)/1e6:.2f}M trainable "
+            f"(base {n_params(params['unet'])/1e6:.1f}M frozen)"
+        )
+        _full_train_apply = train_unet_apply
+        _full_sample_apply = unet_apply
+
+        def train_unet_apply(p, latents, t, context):
+            return _full_train_apply(
+                merge_lora(base_unet_params, p), latents, t, context
+            )
+
+        # the SAMPLER also merges in-graph (params = the adapter tree), NOT
+        # from a pre-merged tree, so both programs compute (base + A@B) at
+        # the parameter boundary and any merge-op rounding applies to both
+        # sides symmetrically. XLA hoists the scan-invariant merge out of
+        # the denoising loop, so it runs once per sampler call. (Residual
+        # bf16 recompute noise between the shard_map sampler and the GSPMD
+        # trainer remains — program-structure rounding, quantified in
+        # tests/test_lora.py's bf16 test note and by bench_logp.py on
+        # hardware; fp32 LoRA is bit-exact end-to-end.)
+        def unet_apply(p, latents, t, context):
+            return _full_sample_apply(
+                merge_lora(base_unet_params, p), latents, t, context
+            )
+
     if getattr(args, "remat", True):
         # trade recompute for activation memory: the full SD UNet fwd+bwd at
         # 512px does not fit a 16GB chip without it
@@ -156,7 +225,9 @@ def main(argv=None):
     # ------------------------------- train state ------------------------------ #
     optimizer = build_optimizer(args)
     state = AccumulatingTrainState.create(
-        apply_fn=train_unet_apply, params=params["unet"], tx=optimizer,
+        apply_fn=train_unet_apply,
+        params=lora_params0 if lora_rank else params["unet"],
+        tx=optimizer,
         # the fp32 accumulation buffer (3.4GB at SD-1.4 scale) only exists
         # when something actually accumulates: explicit accumulation steps,
         # or the non-fused non-resident host loop, which accumulates across
@@ -199,14 +270,7 @@ def main(argv=None):
             print(f"[ pg ] resumed from checkpoint at epoch {restored['epoch']}")
 
     from ddpo_tpu.parallel.sharding import place_train_state
-
-    # reset the process-global attention-sharding context: a previous main()
-    # in this process (test suite, in-process chaining) may have left a
-    # stale mesh behind, which would shard_map this run's attention over
-    # dead devices/axes
     from ddpo_tpu.ops import set_attention_sharding
-
-    set_attention_sharding(None)
 
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
     assert not (tp > 1 and sp > 1), (
@@ -386,11 +450,17 @@ def main(argv=None):
             "np_random": np.random.get_state(),
         }
 
-    cast_params = jax.jit(
-        lambda p: jax.tree_util.tree_map(
-            lambda x: x.astype(sample_dtype), p
+    if lora_rank:
+        # adapters stay fp32 for sampling too: the sampler's unet_apply
+        # merges in-graph exactly like the trainer's (see the lora block
+        # above), so casting a/b here would de-match the two programs
+        cast_params = lambda lp: lp  # noqa: E731
+    else:
+        cast_params = jax.jit(
+            lambda p: jax.tree_util.tree_map(
+                lambda x: x.astype(sample_dtype), p
+            )
         )
-    )
 
     profile_dir = getattr(args, "profile_dir", None)
 
@@ -751,6 +821,16 @@ def main(argv=None):
 
     if prev_sigterm is not None:
         _signal.signal(_signal.SIGTERM, prev_sigterm)
+    if lora_rank and worker_id == 0:
+        # export the MERGED UNet in the reference pkl format so downstream
+        # drivers (generate/sample/finetune) consume the LoRA-trained model
+        # without any adapter knowledge; resume still uses the small
+        # adapter-tree Orbax checkpoints
+        from ddpo_tpu.utils.checkpoints import save_unet
+
+        merged = jax.jit(merge_lora)(base_unet_params, state.params)
+        save_unet(localpath, merged, epoch=args.num_train_epochs - 1)
+        print(f"[ pg ] lora: merged unet exported to {localpath}")
     wait_for_pending_saves()
     if fs.is_remote(args.savepath):
         from ddpo_tpu.utils.serialization import async_to_bucket

@@ -41,6 +41,12 @@ def _dtype(name: str):
 
 def main(argv=None):
     maybe_initialize_distributed()
+    # clear any attention-sharding context left by a previous driver
+    # main() in this process (e.g. a tp/sp policy-gradient run in the
+    # test suite) before any model trace
+    from ddpo_tpu.ops import set_attention_sharding as _reset_attn
+
+    _reset_attn(None)
     args = Parser().parse_args("sample", argv)
     mesh = create_mesh(MeshConfig(tp=1))
     dp = mesh.shape["dp"]

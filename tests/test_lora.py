@@ -1,0 +1,249 @@
+"""LoRA adapter training (models/lora.py + --lora_rank in the pg driver).
+
+Beyond-reference capability: the reference trains the full 860M UNet
+(pipeline/policy_gradient.py state holds full params + Adam moments); LoRA
+freezes the base and trains rank-r adapters on the attention projections —
+~300x smaller optimizer/checkpoint state at r=8. Pins:
+
+- merged(init) == base bitwise (B=0), which is what preserves the PPO
+  on-policy invariant when a LoRA run starts;
+- the merge touches ONLY targeted kernels and gradients flow to the
+  adapters through the unchanged apply path;
+- driver e2e: --lora_rank trains, keeps approx_kl ~ 0 at sampling params,
+  checkpoints the small adapter tree, and exports a merged full UNet pkl.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpo_tpu.models import UNet2DCondition, UNetConfig
+from ddpo_tpu.models.lora import (
+    DEFAULT_TARGETS,
+    init_lora,
+    merge_lora,
+    n_lora_params,
+)
+
+TINY_UNET = UNetConfig(
+    sample_size=8,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    attention_heads=2,
+    cross_attention_dim=32,
+    down_block_has_attn=(True, False),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    model = UNet2DCondition(TINY_UNET)
+    x = jnp.zeros((2, 4, 8, 8))
+    t = jnp.array([0, 10])
+    ctx = jnp.zeros((2, 7, 32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    return model, params
+
+
+def _flat(tree):
+    return {
+        jax.tree_util.keystr(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def test_merge_at_init_is_identity(tiny_unet):
+    _, params = tiny_unet
+    lora = init_lora(params, rank=4, rng=jax.random.PRNGKey(1))
+    merged = merge_lora(params, lora)
+    base_flat, merged_flat = _flat(params), _flat(merged)
+    assert base_flat.keys() == merged_flat.keys()
+    for k in base_flat:
+        np.testing.assert_array_equal(np.asarray(base_flat[k]),
+                                      np.asarray(merged_flat[k]), err_msg=k)
+
+
+def test_merge_touches_only_targets(tiny_unet):
+    _, params = tiny_unet
+    lora = init_lora(params, rank=4, rng=jax.random.PRNGKey(1))
+    # make every adapter active
+    lora = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), lora)
+    merged = merge_lora(params, lora)
+    base_flat, merged_flat = _flat(params), _flat(merged)
+    changed = {k for k in base_flat
+               if not np.array_equal(np.asarray(base_flat[k]),
+                                     np.asarray(merged_flat[k]))}
+    assert changed, "active adapters must change some kernels"
+    for k in changed:
+        assert k.endswith("['kernel']")
+        assert any(f"['{t}']" in k for t in DEFAULT_TARGETS), k
+    # every targeted kernel changed (rank-4 all-ones delta is nonzero)
+    n_targets = sum(
+        1 for k in base_flat
+        if k.endswith("['kernel']") and any(f"['{t}']" in k for t in DEFAULT_TARGETS)
+    )
+    assert len(changed) == n_targets
+    assert n_lora_params(lora) == sum(
+        4 * (base_flat[k].shape[0] + base_flat[k].shape[1])
+        for k in base_flat
+        if k.endswith("['kernel']") and any(f"['{t}']" in k for t in DEFAULT_TARGETS)
+    )
+
+
+def test_grads_flow_through_merge(tiny_unet):
+    model, params = tiny_unet
+    lora = init_lora(params, rank=2, rng=jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 7, 32))
+
+    def loss(lp):
+        out = model.apply({"params": merge_lora(params, lp)},
+                          x, jnp.array([10]), ctx)
+        return jnp.sum(out**2)
+
+    grads = jax.jit(jax.grad(loss))(lora)
+    flat = _flat(grads)
+    b_norms = [np.abs(np.asarray(v)).max() for k, v in flat.items()
+               if k.endswith("['b']")]
+    a_norms = [np.abs(np.asarray(v)).max() for k, v in flat.items()
+               if k.endswith("['a']")]
+    # with B=0, dL/dB = A^T (...) is generically nonzero; dL/dA = (...) B^T = 0
+    assert max(b_norms) > 0
+    assert max(a_norms) == 0
+
+
+def test_policy_gradient_driver_lora(tmp_path, monkeypatch):
+    """--lora_rank 2 end-to-end: trains, on-policy invariant holds (merged
+    init == base), adapter-tree checkpoints written, merged UNet exported."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DDPO_BUCKET", "bucket")
+    import importlib
+
+    import ddpo_tpu.config.base as base
+    import ddpo_tpu.config.user as user
+
+    importlib.reload(user)
+    importlib.reload(base)
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        ["--dataset", "debug-animals", "--n_inference_steps", "2",
+         "--resolution", "32", "--num_train_epochs", "1",
+         "--sample_batch_size", "1", "--train_batch_size", "1",
+         "--save_freq", "1", "--lora_rank", "2", "--learning_rate", "1e-4"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+
+    logdir = tmp_path / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    infos = [
+        np.load(f, allow_pickle=True).item()
+        for f in sorted((logdir / "train_info").iterdir())
+    ]
+    kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
+    assert kl < 1e-6, f"lora run broke the on-policy invariant: kl={kl}"
+
+    # full-state checkpoint holds the SMALL adapter tree
+    ckpt_root = tmp_path / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    assert (ckpt_root / "checkpoints" / "0").exists()
+
+    # merged full-UNet export in the reference pkl format
+    import pickle
+
+    pkl = logdir / "unet_0.pkl"
+    assert pkl.exists()
+    with open(pkl, "rb") as f:
+        merged = pickle.load(f)
+    leaves = jax.tree_util.tree_leaves(merged)
+    assert sum(x.size for x in leaves) > 1e5  # a full UNet, not adapters
+    assert "time_embedding" in merged
+
+
+@pytest.mark.slow
+def test_policy_gradient_driver_lora_bf16_matched(tmp_path, monkeypatch):
+    """LoRA under the shipped bf16 defaults: the frozen base is STORED at
+    the matched compute dtype (no fp32 master for weights that never
+    update) and BOTH the sampler and the trainer merge in-graph from the
+    same (base, adapters).
+
+    Tolerance note: the strict bitwise on-policy invariant (kl < 1e-6) is
+    asserted by the fp32 LoRA test above. Under CPU-EMULATED bf16 the
+    trainer's GSPMD program and the sampler's shard_map program stop
+    rounding identically once the merge ops perturb fusion (measured kl
+    7.7e-4 at IDENTICAL parameter values — B is zero at init, and the
+    merged tree is bitwise equal to the base; the same pair without LoRA
+    rounds bitwise-equal). This is an emulation artifact of the same class
+    as the batch-shape sensitivity documented in
+    test_policy_gradient_driver_bf16_matched; the hardware-grade bf16
+    recompute noise is bench_logp.py's 9e-5 median, far below the 2e-4
+    production clip. Here we bound the emulation noise well under the
+    reward signal scale."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DDPO_BUCKET", "bucket")
+    import importlib
+
+    import ddpo_tpu.config.base as base
+    import ddpo_tpu.config.user as user
+
+    importlib.reload(user)
+    importlib.reload(base)
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        ["--dataset", "debug-animals", "--n_inference_steps", "2",
+         "--resolution", "32", "--num_train_epochs", "1",
+         "--sample_batch_size", "1", "--train_batch_size", "1",
+         "--save_freq", "1000", "--lora_rank", "2",
+         "--sample_dtype", "bfloat16", "--train_dtype", "bfloat16"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+    logdir = tmp_path / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    infos = [
+        np.load(f, allow_pickle=True).item()
+        for f in sorted((logdir / "train_info").iterdir())
+    ]
+    kl = float(np.mean([i["approx_kl"].mean() for i in infos]))
+    assert kl < 1e-2, f"bf16 lora run beyond CPU-emulation noise: kl={kl}"
+
+
+def test_finetune_driver_lora(tmp_path, monkeypatch):
+    """RWR finetune with --lora_rank: trains on a sampled dataset and exports
+    a MERGED full UNet pkl (the next iteration's sampler consumes it with no
+    adapter knowledge)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DDPO_BUCKET", "bucket")
+    import importlib
+
+    import ddpo_tpu.config.base as base
+    import ddpo_tpu.config.user as user
+
+    importlib.reload(user)
+    importlib.reload(base)
+    from ddpo_tpu.pipelines import finetune, sample, save_sizes
+
+    common = ["--dataset", "debug-animals", "--n_inference_steps", "2",
+              "--resolution", "32"]
+    n = sample.main(common + ["--max_samples", "4", "--n_samples_per_device",
+                              "1", "--local_size", "4"])
+    assert n >= 4
+    save_sizes.main(["--dataset", "debug-animals"])
+    # the train experiment block has no n_inference_steps key
+    state = finetune.main(
+        ["--dataset", "debug-animals", "--resolution", "32",
+         "--num_train_epochs", "1", "--train_batch_size", "1",
+         "--lora_rank", "2", "--learning_rate", "1e-4"]
+    )
+    # the train state holds the small adapter tree, not the full UNet
+    flat = _flat(state.params)
+    assert all(k.endswith("['a']") or k.endswith("['b']") for k in flat)
+
+    import pickle
+
+    model_dir = tmp_path / "bucket" / "logs" / "debug-animals" / "models" / "1"
+    pkls = sorted(model_dir.glob("unet_*.pkl"))
+    assert pkls, f"no merged export in {model_dir}"
+    with open(pkls[-1], "rb") as f:
+        merged = pickle.load(f)
+    assert "time_embedding" in merged

