@@ -275,8 +275,12 @@ def main(argv=None):
     tp, sp = mesh.shape["tp"], mesh.shape["sp"]
     assert not (tp > 1 and sp > 1), (
         "mesh_sp and mesh_tp cannot be combined for training: XLA's "
-        "manual<->auto partitioner boundary miscounts conv weight grads 2x "
-        "with two manual attention axes (ops/attention.py docstring)"
+        "manual<->auto partitioner boundary miscounts 3x3 conv weight grads "
+        "exactly 2x with two manual attention axes (ops/attention.py "
+        "docstring). Version-gated: when tests/test_parallel.py::"
+        "test_sp_tp_combined_conv_grad_miscount_canary goes red, a jax "
+        "upgrade fixed the boundary — remove this assert per the canary's "
+        "docstring."
     )
     if sp_spatial:
         print(

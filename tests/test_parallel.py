@@ -423,3 +423,80 @@ def test_spatial_sampler_matches_unsharded(tiny_setup):
             np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, rtol=1e-4,
             err_msg=k,
         )
+
+
+def test_sp_tp_combined_conv_grad_miscount_canary():
+    """CANARY for the version-gated sp+tp training limitation.
+
+    With BOTH manual attention axes active (seq over sp AND heads over tp),
+    XLA's manual<->auto partitioning boundary miscounts the weight grads of
+    every surrounding 3x3 convolution by EXACTLY 2.0x on the current jax
+    pin (0.9.x CPU meshes); all non-conv grads and the forward are exact.
+    The pg driver rejects sp>1 && tp>1 because of this
+    (pipelines/policy_gradient.py, 'mesh_sp and mesh_tp cannot be
+    combined'). No upstream issue exists yet (zero-egress build env) — this
+    canary IS the version gate.
+
+    This test asserts the bug IS PRESENT. When a jax/XLA upgrade fixes the
+    boundary, it goes RED: then (1) delete the driver rejection, (2) flip
+    this test to assert exact grads (fold it into
+    test_attention_sharding_grad_matches_unsharded's loop with a combined
+    MeshConfig(dp=2, sp=2, tp=2) entry), and (3) drop the KNOWN LIMIT note
+    from ops/attention.set_attention_sharding's docstring.
+    """
+    from ddpo_tpu.models import UNet2DCondition
+    from ddpo_tpu.ops import set_attention_sharding
+
+    model = UNet2DCondition(TINY)
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 4, 8, 8).astype(np.float32)
+    t = np.array([3, 11], np.int32)
+    ctx = rs.randn(2, 7, 32).astype(np.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(x[:1]), jnp.asarray(t[:1]),
+        jnp.asarray(ctx[:1]),
+    )["params"]
+
+    def loss(p):
+        out = model.apply(
+            {"params": p}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+        )
+        return jnp.mean(out**2)
+
+    ref_grads = jax.grad(loss)(params)
+
+    mesh = create_mesh(
+        MeshConfig(dp=1, sp=2, tp=2), devices=jax.devices()[:4]
+    )
+    set_attention_sharding(
+        mesh, batch_axis="dp", seq_axis="sp", heads_axis="tp"
+    )
+    try:
+        with mesh:
+            got_grads = jax.jit(jax.grad(loss))(params)
+    finally:
+        set_attention_sharding(None)
+
+    got = dict(jax.tree_util.tree_leaves_with_path(got_grads))
+    n_doubled = 0
+    for path, ref_leaf in jax.tree_util.tree_leaves_with_path(ref_grads):
+        g, r = np.asarray(got[path]), np.asarray(ref_leaf)
+        is_conv3x3 = r.ndim == 4 and r.shape[0] == 3 and r.shape[1] == 3
+        if is_conv3x3:
+            # the miscount: conv kernel grads exactly doubled
+            np.testing.assert_allclose(
+                g, 2.0 * r, atol=3e-5, rtol=3e-4,
+                err_msg=(
+                    "sp+tp conv-grad miscount is GONE (or changed) at "
+                    f"{jax.tree_util.keystr(path)} — the jax upgrade fixed "
+                    "the manual<->auto boundary. Un-freeze sp+tp: see this "
+                    "test's docstring for the three steps."
+                ),
+            )
+            n_doubled += 1
+        else:
+            np.testing.assert_allclose(
+                g, r, atol=3e-5, rtol=3e-4,
+                err_msg=f"non-conv grad diverged at {jax.tree_util.keystr(path)}",
+            )
+    assert n_doubled >= 10, f"only {n_doubled} conv kernels checked"
