@@ -126,9 +126,17 @@ def main():
     )
     lora0 = init_lora(base16, rank, jax.random.PRNGKey(2))
 
+    # remat only the UNet body; the frozen base rides in as the step's
+    # `frozen` RUNTIME kwarg (as in the drivers). A closure over the
+    # concrete base tree embeds ~1.7GB of bf16 HLO constants — lowering
+    # alone took >15 min and the multi-GB program crashed the XLA compile
+    # service twice (round 4).
     @jax.checkpoint
-    def apply_lora(lp, latents, t, context):
-        return model.apply({"params": merge_lora(base16, lp)}, latents, t, context)
+    def _unet_body(p, latents, t, context):
+        return model.apply({"params": p}, latents, t, context)
+
+    def apply_lora(base, lp, latents, t, context):
+        return _unet_body(merge_lora(base, lp), latents, t, context)
 
     state_lora = AccumulatingTrainState.create(
         apply_fn=apply_lora,
@@ -142,7 +150,9 @@ def main():
         functools.partial(train_step_fused, **kwargs), donate_argnums=(0,)
     )
     print("# measuring lora fused bf16 step", flush=True)
-    t_lora, state_lora = time_steps(lora_step, state_lora)
+    t_lora, state_lora = time_steps(
+        functools.partial(lora_step, frozen=base16), state_lora
+    )
 
     per = lambda t: round(t / (bs * num_t) * 1e3, 3)
     line = {

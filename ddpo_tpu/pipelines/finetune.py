@@ -105,13 +105,23 @@ def main(argv=None):
             f"{n_lora_params(lora_params0)/1e6:.2f}M trainable (base frozen)"
         )
         _full_unet_apply = unet_apply
+        if getattr(args, "remat", True):
+            # remat only the UNet body: the (base + A@B) merge stays outside
+            # the checkpoint boundary so it is computed once per step, not
+            # rematerialized per backward segment (same structure as the pg
+            # driver)
+            _full_unet_apply = jax.checkpoint(_full_unet_apply)
 
-        def unet_apply(p, latents, t, context):
+        # the frozen base reaches the step as a RUNTIME kwarg (train_step's
+        # `frozen`), never a closure: closed-over concrete arrays embed as
+        # HLO constants — ~1.7GB of literals at SD scale blew up lowering
+        # and crashed the XLA compile service (see pg driver lora block)
+        def unet_apply(base, p, latents, t, context):
             return _full_unet_apply(
-                merge_lora(base_unet_params, p), latents, t, context
+                merge_lora(base, p), latents, t, context
             )
 
-    if getattr(args, "remat", True):
+    if getattr(args, "remat", True) and not lora_rank:
         unet_apply = jax.checkpoint(unet_apply)
 
     def text_apply(p, ids):
@@ -191,6 +201,7 @@ def main(argv=None):
                 batch=device_batch,
                 rng=step_rng,
                 scheduler_state=sched_state,
+                frozen=base_unet_params if lora_rank else None,
                 weights=weights,
             )
             losses.append(float(loss))

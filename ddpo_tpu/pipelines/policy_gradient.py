@@ -192,29 +192,44 @@ def main(argv=None):
         )
         _full_train_apply = train_unet_apply
         _full_sample_apply = unet_apply
+        if getattr(args, "remat", True):
+            # remat ONLY the UNet body: the (base + A@B) merge stays OUTSIDE
+            # the checkpoint boundary, so it is a saved loop-invariant XLA
+            # hoists out of the fused timestep scan — one merge per train
+            # step instead of 2T rematerialized copies.
+            _full_train_apply = jax.checkpoint(_full_train_apply)
 
-        def train_unet_apply(p, latents, t, context):
+        # CRITICAL: the frozen base reaches both programs as a RUNTIME
+        # ARGUMENT (trainer: the steps' `frozen` kwarg; sampler: a
+        # (base, adapters) params tuple). A python closure over the concrete
+        # base tree embeds ~1.7GB of bf16 literals in the lowered module at
+        # SD scale — lowering alone took >15 min and the multi-GB program
+        # crashed the XLA compile service (bench_lora, round 4; same failure
+        # mode as the CLIP-tower note at the text_encode jit below).
+        def train_unet_apply(base, p, latents, t, context):
             return _full_train_apply(
-                merge_lora(base_unet_params, p), latents, t, context
+                merge_lora(base, p), latents, t, context
             )
 
-        # the SAMPLER also merges in-graph (params = the adapter tree), NOT
-        # from a pre-merged tree, so both programs compute (base + A@B) at
-        # the parameter boundary and any merge-op rounding applies to both
-        # sides symmetrically. XLA hoists the scan-invariant merge out of
-        # the denoising loop, so it runs once per sampler call. (Residual
+        # the SAMPLER also merges in-graph (params = (base, adapter) trees),
+        # NOT from a pre-merged tree, so both programs compute (base + A@B)
+        # at the parameter boundary and any merge-op rounding applies to
+        # both sides symmetrically. XLA hoists the scan-invariant merge out
+        # of the denoising loop, so it runs once per sampler call. (Residual
         # bf16 recompute noise between the shard_map sampler and the GSPMD
         # trainer remains — program-structure rounding, quantified in
         # tests/test_lora.py's bf16 test note and by bench_logp.py on
         # hardware; fp32 LoRA is bit-exact end-to-end.)
         def unet_apply(p, latents, t, context):
+            base, adapters = p
             return _full_sample_apply(
-                merge_lora(base_unet_params, p), latents, t, context
+                merge_lora(base, adapters), latents, t, context
             )
 
-    if getattr(args, "remat", True):
+    if getattr(args, "remat", True) and not lora_rank:
         # trade recompute for activation memory: the full SD UNet fwd+bwd at
-        # 512px does not fit a 16GB chip without it
+        # 512px does not fit a 16GB chip without it (the LoRA branch already
+        # checkpointed its UNet body above, keeping the merge outside)
         train_unet_apply = jax.checkpoint(train_unet_apply)
 
     # CFG as one 2B-batch apply for bf16 training (1.29x the two-apply step
@@ -379,6 +394,9 @@ def main(argv=None):
         if getattr(args, "fused_train_loop", False)
         else training.policy_gradient.train_step
     )
+    # LoRA: the frozen base rides into every step as a runtime kwarg
+    # (None otherwise — an empty pytree, free under jit)
+    train_frozen = base_unet_params if lora_rank else None
     jit_train_step = jax.jit(
         functools.partial(
             step_fn,
@@ -457,8 +475,11 @@ def main(argv=None):
     if lora_rank:
         # adapters stay fp32 for sampling too: the sampler's unet_apply
         # merges in-graph exactly like the trainer's (see the lora block
-        # above), so casting a/b here would de-match the two programs
-        cast_params = lambda lp: lp  # noqa: E731
+        # above), so casting a/b here would de-match the two programs.
+        # Pair the frozen base with the live adapters — the sampler's
+        # params argument is the (base, adapters) tuple (runtime argument,
+        # never a closure constant).
+        cast_params = lambda lp: (base_unet_params, lp)  # noqa: E731
     else:
         cast_params = jax.jit(
             lambda p: jax.tree_util.tree_map(
@@ -640,7 +661,8 @@ def main(argv=None):
             for inner_epoch in range(args.num_inner_epochs):
                 train_rng, epoch_rng = jax.random.split(train_rng)
                 state, infos_dev = jit_inner_epoch(
-                    state, device_samples, sched_state, epoch_rng
+                    state, device_samples, sched_state, epoch_rng,
+                    frozen=train_frozen,
                 )
                 infos = jax.tree_util.tree_map(
                     lambda x: np.asarray(jax.device_get(x)), infos_dev
@@ -730,7 +752,8 @@ def main(argv=None):
                         for k, v in batch.items()
                     }
                     state, info = jit_train_step(
-                        state, sharded, sched_state, do_opt_update=do_opt_update
+                        state, sharded, sched_state,
+                        do_opt_update=do_opt_update, frozen=train_frozen,
                     )
                     infos.append(jax.tree_util.tree_map(np.asarray, jax.device_get(info)))
                 else:
@@ -745,7 +768,7 @@ def main(argv=None):
                         upd = do_opt_update and (j == num_train_ts - 1)
                         state, info = jit_train_step(
                             state, shard_batch(mesh, batch), sched_state,
-                            do_opt_update=upd,
+                            do_opt_update=upd, frozen=train_frozen,
                         )
                         infos.append(
                             jax.tree_util.tree_map(np.asarray, jax.device_get(info))

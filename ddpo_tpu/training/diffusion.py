@@ -43,6 +43,7 @@ def train_step(
     weights: Optional[jnp.ndarray] = None,
     scaling_factor: float = 0.18215,
     cfg_concat: bool = False,
+    frozen: Any = None,
 ) -> Tuple[TrainState, jnp.ndarray, jax.Array]:
     """One supervised finetune step. Jit with scheduler/train_cfg static.
 
@@ -50,7 +51,15 @@ def train_step(
     instead of the reference's two B-batch applies (identical math — see
     ddpo_tpu/training/policy_gradient.ppo_loss; 1.29x for the bf16 PPO
     step on v5e, same structure here).
+
+    ``frozen``: optional non-trainable tree (LoRA base UNet) forwarded as
+    ``state.apply_fn(frozen, params, ...)`` — a runtime argument, because a
+    closure over concrete device arrays embeds ~1.7GB of bf16 HLO constants
+    at SD scale (see policy_gradient._bind_frozen).
     """
+    from ddpo_tpu.training.policy_gradient import _bind_frozen
+
+    apply_fn = _bind_frozen(state.apply_fn, frozen)
     sample_rng, noise_rng, timestep_rng, new_rng = jax.random.split(rng, 4)
 
     def compute_loss(params):
@@ -71,7 +80,7 @@ def train_step(
             uncond_context = text_encoder_apply(
                 text_encoder_params, batch["uncond_text"]
             )
-            eps = state.apply_fn(
+            eps = apply_fn(
                 params,
                 jnp.concatenate([noisy, noisy]),
                 jnp.concatenate([timesteps, timesteps]),
@@ -80,14 +89,14 @@ def train_step(
             eps_uncond, eps_text = jnp.split(eps, 2)
             noise_pred = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         elif train_cfg:
-            eps_text = state.apply_fn(params, noisy, timesteps, context)
+            eps_text = apply_fn(params, noisy, timesteps, context)
             uncond_context = text_encoder_apply(
                 text_encoder_params, batch["uncond_text"]
             )
-            eps_uncond = state.apply_fn(params, noisy, timesteps, uncond_context)
+            eps_uncond = apply_fn(params, noisy, timesteps, uncond_context)
             noise_pred = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         else:
-            noise_pred = state.apply_fn(params, noisy, timesteps, context)
+            noise_pred = apply_fn(params, noisy, timesteps, context)
 
         loss = ((noise - noise_pred) ** 2).mean(
             axis=tuple(range(1, noise.ndim))

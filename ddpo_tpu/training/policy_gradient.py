@@ -35,6 +35,23 @@ from ddpo_tpu.core.scheduler import DDIMScheduler, DDIMState
 ADV_CLIP_MAX = 10.0
 
 
+def _bind_frozen(apply_fn: Callable, frozen: Any) -> Callable:
+    """Prepend a frozen (non-trainable) param tree to ``apply_fn``.
+
+    LoRA-style training freezes the 860M-param base UNet and trains only
+    the adapters, so the base tree must reach the apply as a RUNTIME
+    ARGUMENT of the jitted step: a python closure over concrete device
+    arrays embeds them as constants in the lowered module (for SD-1.4,
+    ~1.7GB of bf16 literals — lowering alone took >15 min and the
+    multi-GB program crashed the XLA compile service; same failure mode
+    the pg driver documents for the CLIP tower). ``frozen`` here is a
+    tracer inside jit, so the closure below adds graph edges, not bytes.
+    """
+    if frozen is None:
+        return apply_fn
+    return lambda p, *args: apply_fn(frozen, p, *args)
+
+
 class AccumulatingTrainState(TrainState):
     """TrainState with a gradient-accumulation buffer.
 
@@ -164,12 +181,19 @@ def train_step(
     clip_range: float,
     do_opt_update: bool,
     cfg_concat: bool = False,
+    frozen: Any = None,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
-    """One PPO update/accumulation step. Jit with scheduler/flags static."""
+    """One PPO update/accumulation step. Jit with scheduler/flags static.
+
+    ``frozen``: optional non-trainable param tree (e.g. the LoRA base UNet)
+    passed through to ``state.apply_fn(frozen, params, ...)`` — a runtime
+    argument so it never embeds as HLO constants (see _bind_frozen).
+    """
+    apply_fn = _bind_frozen(state.apply_fn, frozen)
 
     def compute_loss(params):
         return ppo_loss(
-            params, state.apply_fn, batch, scheduler, scheduler_state,
+            params, apply_fn, batch, scheduler, scheduler_state,
             train_cfg, guidance_scale, eta, clip_range, cfg_concat,
         )
 
@@ -189,14 +213,18 @@ def train_step_fused(
     clip_range: float,
     do_opt_update: bool,
     cfg_concat: bool = False,
+    frozen: Any = None,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """Scan over the timestep axis on device: one dispatch per trajectory.
 
     batch carries a leading timestep axis on latents/next_latents/ts/
     log_probs: (T, B, ...). Gradients from every timestep are averaged (same
     effective update as the reference's T sequential accumulation steps with
-    the optimizer firing on the last), then applied once.
+    the optimizer firing on the last), then applied once. ``frozen`` as in
+    ``train_step`` (runtime argument; closed-over tracer inside the scan —
+    XLA hoists the loop-invariant merge out of the while loop).
     """
+    apply_fn = _bind_frozen(state.apply_fn, frozen)
     per_t = {
         k: batch[k] for k in ("latents", "next_latents", "ts", "log_probs")
     }
@@ -211,7 +239,7 @@ def train_step_fused(
 
         def compute_loss(params):
             return ppo_loss(
-                params, state.apply_fn, full, scheduler, scheduler_state,
+                params, apply_fn, full, scheduler, scheduler_state,
                 train_cfg, guidance_scale, eta, clip_range, cfg_concat,
             )
 
@@ -248,6 +276,7 @@ def inner_epoch_resident(
     clip_range: float,
     accumulation_steps: int = 1,
     cfg_concat: bool = False,
+    frozen: Any = None,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """One full PPO inner epoch as a single on-device program.
 
@@ -309,7 +338,7 @@ def inner_epoch_resident(
             state, info = train_step_fused(
                 state, fused, scheduler_state, scheduler, train_cfg,
                 guidance_scale, eta, clip_range, do_opt_update=do_opt_update,
-                cfg_concat=cfg_concat,
+                cfg_concat=cfg_concat, frozen=frozen,
             )
             return state, info
 
