@@ -203,9 +203,16 @@ base = {
         "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
         "mesh_tp": 1,  # tensor-parallel axis size
         "mesh_sp": 1,  # sequence-parallel axis size (latent self-attention)
-        # "attention": per-attention shard_map, convs on gathered maps;
-        # "spatial": whole-UNet shard_map, H sharded, halo-exchange convs
-        "sp_mode": "attention",
+        # "spatial": whole-UNet shard_map, H sharded — halo-exchange convs
+        #   divide conv FLOPs by sp AND move 8.1x less sp-axis traffic in
+        #   the train step (441 vs 3582 MB/step at 512px on a dp4xsp2 mesh;
+        #   forward ~equal at 193 vs 203 MB — bench_sp_comms.py, compile-
+        #   measured HLO collective bytes, round 4);
+        # "attention": per-attention shard_map only — convs stay REPLICATED
+        #   over sp (duplicated FLOPs, no conv speedup), and the param-grad
+        #   reduction pays an extra sp-axis all-reduce. Kept as the fallback
+        #   for geometries the spatial mode's divisibility check rejects.
+        "sp_mode": "spatial",
         # Compute dtypes (master params/optimizer stay in `dtype`=fp32).
         # bf16 is the measured-sound default: on v5e at production geometry
         # the bf16 sampler is 1.14x and the bf16 fused train step 1.83x,

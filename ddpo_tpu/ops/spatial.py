@@ -27,9 +27,13 @@ wrapper). All ops differentiate: ppermute/all_gather/psum have exact
 transposes, so the same sharded forward serves PPO training.
 
 Per-step comms cost at SD-1.4 512px geometry, CFG batch 2B=16, bf16, sp=2:
-halos move 2 rows x W x C per conv pair ~= 2*64*320*2B bytes ~ 2.6 MB/layer
-vs the GSPMD-gather sp path's full (2B, 64, 64, 320) ~ 84 MB per conv — a
-~32x reduction in sp-axis traffic (ratio = local_H/2 rows).
+halos move 2 rows x W x C per conv pair ~= 2*64*320*2B bytes ~ 2.6 MB/layer.
+(The earlier "~32x vs a GSPMD-gathered conv path" estimate was against a
+hypothetical that never compiles that way: measured HLO shows the
+attention-only sp mode keeps convs REPLICATED over sp — its real costs are
+duplicated conv FLOPs and an extra sp-axis param-grad all-reduce, 8.1x the
+spatial mode's total train-step sp traffic. See bench_sp_comms.py and
+parallel/spatial.py's header for the compile-measured numbers.)
 """
 
 from __future__ import annotations

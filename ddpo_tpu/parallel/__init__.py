@@ -4,6 +4,8 @@ from ddpo_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     shard_batch,
+    local_shard,
+    jit_concat,
 )
 from ddpo_tpu.parallel.sequence import sequence_parallel_attention
 from ddpo_tpu.parallel.sharding import unet_partition_rules, shard_params
@@ -15,6 +17,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "local_shard",
+    "jit_concat",
     "sequence_parallel_attention",
     "make_spatial_unet_apply",
     "unet_partition_rules",

@@ -95,16 +95,70 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
     """Place a host pytree onto the mesh, batch dim split over dp.
 
     Replaces the reference's reshape-based shard() helper — data goes
     straight to its device slice, no (n_devices, B/n, ...) reshaping.
+
+    CONTRACT (multi-host): the input is the PER-PROCESS LOCAL batch — each
+    process passes its own samples/prompts (reference per-worker semantics,
+    pipeline/policy_gradient.py:223-464) and the global array is assembled
+    from the local shards (host_local_array_to_global_array). On a single
+    process local == global and this is a plain device_put slice.
+
+    batch_axis: which dim is the dp-sharded batch dim (0 for (B, ...)
+    tensors, 1 for the fused trainer's (T, B, ...) layout).
     """
-    sharding = batch_sharding(mesh)
+    spec = P(*([None] * batch_axis + ["dp"]))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec
+            ),
+            batch,
+        )
+    sharding = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def local_shard(x) -> np.ndarray:
+    """Fetch the process-local rows of a global batch-dp-sharded array.
+
+    Inverse of shard_batch for host-side consumers (reward scoring, artifact
+    dumps): multi-host processes cannot device_get non-addressable shards,
+    so each takes its own contiguous dp slice (addressable shards, ordered
+    by batch offset and deduplicated — replicated-over-sp/tp arrays carry
+    one copy per local device). Single process: plain device_get.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+    shards = [
+        s for s in x.addressable_shards
+    ]
+    seen, parts = set(), []
+    for s in sorted(shards, key=lambda s: s.index[0].start or 0):
+        start = s.index[0].start or 0
+        if start in seen:
+            continue  # replicated copy over a non-batch mesh axis
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=0)
+
+
+def jit_concat(xs, axis: int = 0):
+    """Concatenate global (possibly non-addressable) arrays on device.
+
+    Eager jnp.concatenate fails on multi-host global arrays; a jitted
+    concat is a legal SPMD program. Pass-through for a single input.
+    """
+    if len(xs) == 1:
+        return xs[0]
+    return jax.jit(lambda *ys: jax.numpy.concatenate(ys, axis=axis))(*xs)
 
 
 def local_batch_size(mesh: Mesh, per_device: int) -> int:

@@ -1,16 +1,21 @@
 """Whole-UNet spatial sharding: H split over an 'sp' mesh axis, halo comms.
 
 Round 2's sp sharded only the self-attention (each attention call runs in
-its own shard_map; every conv between attentions computes on the GSPMD-
-gathered full feature map — the sp axis pays a full-activation all-gather
-per conv and does not divide the conv FLOPs). This module runs the ENTIRE
-UNet forward inside ONE shard_map with the latent's H dimension sharded
-over the sp axis, the classic TPU "spatial partitioning" scheme for
-large-image convs:
+its own shard_map; every conv between attentions computes REPLICATED over
+the sp axis — no conv comms, but also no conv speedup: sp devices repeat
+the full conv FLOPs, and the param-grad reduction pays an extra sp-axis
+all-reduce). This module instead runs the ENTIRE UNet forward inside ONE
+shard_map with the latent's H dimension sharded over the sp axis, the
+classic TPU "spatial partitioning" scheme for large-image convs — dividing
+the conv FLOPs by sp. Compile-measured HLO collective bytes at 512px on a
+dp4xsp2 mesh (bench_sp_comms.py, round 4 — this is why sp_mode="spatial"
+is the shipped default): train step sp-axis traffic 441 MB vs the
+attention mode's 3582 MB (8.1x), forward 193 vs 203 MB (~equal), and the
+whole-mesh param-grad all-reduce collapses to ONE 3.28 GB op instead of
+separate dp- and sp-axis reductions.
 
   - 3x3 convs exchange a single boundary row with each H neighbor
-    (ops/spatial.halo_exchange_rows — ~2.6 MB/layer at SD-1.4 512px vs the
-    ~84 MB full-activation gather of the attention-only scheme);
+    (ops/spatial.halo_exchange_rows — ~2.6 MB/layer at SD-1.4 512px);
   - stride-2 downsamples fetch only the previous shard's last row;
   - GroupNorm psums its per-(batch, group) moment partial sums;
   - self-attention all-gathers K/V over the axis (exact softmax on local

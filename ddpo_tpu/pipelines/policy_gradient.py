@@ -32,7 +32,15 @@ import numpy as np
 
 from ddpo_tpu import training
 from ddpo_tpu.core.scheduler import DDIMScheduler
-from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
+from ddpo_tpu.parallel import (
+    MeshConfig,
+    batch_sharding,
+    create_mesh,
+    jit_concat,
+    local_shard,
+    replicated,
+    shard_batch,
+)
 from ddpo_tpu.parallel.collectives import all_processes_equal, n_params
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
 from ddpo_tpu.training.optim import build_optimizer
@@ -77,9 +85,16 @@ def main(argv=None):
     ))
     n_devices = mesh.devices.size
     dp = mesh.shape["dp"]
+    # per-worker semantics (reference pipeline/policy_gradient.py:223-464):
+    # every process builds prompts/batches for ITS dp slice of the mesh;
+    # shard_batch assembles the global arrays from the local shards. On one
+    # process local_dp == dp and the local sizes are the global sizes.
+    local_dp = mesh.local_mesh.shape["dp"]
 
-    sample_bs = args.sample_batch_size * dp
-    train_bs = args.train_batch_size * dp
+    sample_bs = args.sample_batch_size * local_dp
+    sample_bs_global = args.sample_batch_size * dp
+    train_bs = args.train_batch_size * local_dp
+    train_bs_global = args.train_batch_size * dp
     train_effective_bs = train_bs * args.train_accumulation_steps
     total_samples_per_epoch = args.num_sample_batches_per_epoch * sample_bs
     print(
@@ -111,7 +126,11 @@ def main(argv=None):
         dtype=_dtype(args.dtype),
         activation_dtype=sample_dtype,
         cache=args.cache,
-        seed=args.seed,
+        # base_seed, NOT the per-process seed: random-init params are
+        # REPLICATED over the global mesh and must be identical on every
+        # process (place_train_state device_puts them; jax asserts
+        # cross-process equality of replicated values)
+        seed=getattr(args, "base_seed", args.seed),
         model_preset=getattr(args, "model_preset", "sd14"),
     )
     print(f"[ pg ] unet params: {n_params(params['unet'])/1e6:.1f}M")
@@ -138,15 +157,31 @@ def main(argv=None):
         return train_model.apply({"params": p}, latents, t, context)
 
     sp_spatial = mesh.shape["sp"] > 1 and (
-        getattr(args, "sp_mode", "attention") == "spatial"
+        getattr(args, "sp_mode", "spatial") == "spatial"
     )
     if sp_spatial:
-        # --sp_mode spatial: ONE shard_map around the whole UNet forward
-        # with the latent H sharded over sp — convs halo-exchange a single
-        # boundary row, GroupNorm psums its moments, self-attention gathers
-        # K/V (parallel/spatial.py). The default --sp_mode attention instead
-        # shard_maps each attention call and leaves convs on GSPMD-gathered
-        # full feature maps (~32x more sp-axis traffic; ops/spatial.py).
+        # the spatial mode needs H divisible at every UNet level; fall back
+        # to the attention mode (valid at any geometry, just slower — see
+        # config/base.py sp_mode) rather than rejecting the run
+        from ddpo_tpu.ops.spatial import validate_spatial_geometry
+
+        try:
+            validate_spatial_geometry(
+                args.resolution // 8, "sp", mesh.shape["sp"],
+                levels=len(models.unet.config.block_out_channels) - 1,
+            )
+        except ValueError as e:
+            print(f"[ pg ] sp_mode=spatial rejected ({e}); "
+                  "falling back to sp_mode=attention")
+            sp_spatial = False
+    if sp_spatial:
+        # --sp_mode spatial (the measured default — bench_sp_comms.py): ONE
+        # shard_map around the whole UNet forward with the latent H sharded
+        # over sp — convs halo-exchange a single boundary row (FLOPs divided
+        # by sp), GroupNorm psums its moments, self-attention gathers K/V
+        # (parallel/spatial.py). --sp_mode attention instead shard_maps each
+        # attention call only: convs compute replicated over sp and the
+        # train step moves 8.1x more sp-axis bytes.
         from ddpo_tpu.parallel.spatial import make_spatial_unet_apply
 
         unet_apply = make_spatial_unet_apply(mesh, models.unet)
@@ -183,7 +218,9 @@ def main(argv=None):
             replicated(mesh),
         )
         lora_params0 = init_lora(
-            base_unet_params, lora_rank, jax.random.PRNGKey(args.seed)
+            base_unet_params, lora_rank,
+            # replicated across processes -> base_seed (see load_unet above)
+            jax.random.PRNGKey(getattr(args, "base_seed", args.seed)),
         )
         print(
             f"[ pg ] lora: rank {lora_rank}, "
@@ -322,7 +359,16 @@ def main(argv=None):
     state = place_train_state(mesh, state)
     sched_state = jax.device_put(sched_state, replicated(mesh))
     vae_params = jax.device_put(params["vae"], replicated(mesh))
-    text_params = jax.device_put(params["text_encoder"], replicated(mesh))
+    # text encoding is a HOST-SIDE producer (each process embeds its OWN
+    # prompts before shard_batch assembles the global batch), so its params
+    # stay process-local in multi-host runs: placing them on the global mesh
+    # would turn every per-process text_encode into an inconsistent SPMD
+    # program (different prompt ids per process through one global jit)
+    text_params = (
+        jax.device_put(params["text_encoder"], replicated(mesh))
+        if jax.process_count() == 1
+        else jax.device_put(params["text_encoder"], jax.local_devices()[0])
+    )
 
     # ------------------------------ jitted programs --------------------------- #
     vae_scale = 2 ** (len(models.vae.config.block_out_channels) - 1)
@@ -335,7 +381,6 @@ def main(argv=None):
         vae_scale_factor=vae_scale,
         latent_channels=models.vae.config.latent_channels,
     )
-    dp_sharding = batch_sharding(mesh)
 
     if mesh.shape["tp"] == 1 and mesh.shape["sp"] == 1 and dp > 1:
         # shard_map path: pmap-equivalent batch parallelism; Pallas kernels
@@ -366,9 +411,11 @@ def main(argv=None):
 
     resident = getattr(args, "resident_inner_loop", False)
     if resident:
+        # the resident epoch runs on the GLOBAL device arrays: minibatch
+        # size and count are global (the per-device dp factors cancel)
         n_batches_resident = (
             args.sample_batch_size * args.num_sample_batches_per_epoch
-        ) // train_bs
+        ) // args.train_batch_size
         assert n_batches_resident % args.train_accumulation_steps == 0, (
             f"resident_inner_loop: {n_batches_resident} minibatches/epoch not "
             f"divisible by train_accumulation_steps={args.train_accumulation_steps}"
@@ -377,7 +424,7 @@ def main(argv=None):
             functools.partial(
                 training.policy_gradient.inner_epoch_resident,
                 scheduler=scheduler,
-                train_batch_size=train_bs,
+                train_batch_size=train_bs_global,
                 num_train_ts=int(args.n_inference_steps * args.train_timestep_ratio),
                 train_cfg=args.train_cfg,
                 guidance_scale=args.guidance_scale,
@@ -437,7 +484,12 @@ def main(argv=None):
             args.per_prompt_stats_bufsize, args.per_prompt_stats_min_count
         )
 
-    rng = jax.random.PRNGKey(args.seed)
+    # device RNG from base_seed: the sampler key feeds a GLOBAL-mesh program
+    # and must be identical on every process (the shard_map sampler folds in
+    # the dp index for per-shard noise); same for the resident epoch's
+    # shuffle key. Host-side RNGs (prompts, host-loop shuffles) keep the
+    # per-process seed. Single process: base_seed == seed, nothing changes.
+    rng = jax.random.PRNGKey(getattr(args, "base_seed", args.seed))
     train_rng, sample_rng = jax.random.split(rng)
 
     mean_rewards, std_rewards = [], []
@@ -527,18 +579,20 @@ def main(argv=None):
 
             prompt_ids = models.tokenizer(sample_prompts)
             prompt_embeds = text_encode(jnp.asarray(prompt_ids))
+            # local (per-process) embeds -> global dp-sharded arrays
+            global_prompt_embeds = shard_batch(mesh, prompt_embeds)
 
             sample_rng, sample_seed = jax.random.split(sample_rng)
             timer()
             traj = sample_fn(
                 sampling_params,
                 scheduler_state=sched_state,
-                prompt_embeds=jax.device_put(prompt_embeds, dp_sharding),
-                uncond_embeds=shard_batch(mesh, jnp.asarray(sample_uncond)),
+                prompt_embeds=global_prompt_embeds,
+                uncond_embeds=shard_batch(mesh, np.asarray(sample_uncond)),
                 key=sample_seed,
             )
             images = decode_fn(vae_params, traj["final_latents"])
-            images = np.asarray(jax.device_get(images))
+            images = local_shard(images)
             sample_time = timer()
             sample_phase_time += sample_time
 
@@ -551,19 +605,21 @@ def main(argv=None):
             if resident:
                 # trajectories never leave the device (SURVEY.md section 7.3)
                 entry = {
-                    "embeds": prompt_embeds,
+                    "embeds": global_prompt_embeds,
                     "latents": traj["latents"],
                     "next_latents": traj["next_latents"],
                     "log_probs": traj["log_probs"],
                     "ts": traj["ts"],
                 }
             else:
+                # host copy of the process-LOCAL rows (reference per-worker
+                # trajectories); single process: the whole batch
                 entry = {
                     "embeds": np.asarray(prompt_embeds),
-                    "latents": np.asarray(jax.device_get(traj["latents"])),
-                    "next_latents": np.asarray(jax.device_get(traj["next_latents"])),
-                    "log_probs": np.asarray(jax.device_get(traj["log_probs"])),
-                    "ts": np.asarray(jax.device_get(traj["ts"])),
+                    "latents": local_shard(traj["latents"]),
+                    "next_latents": local_shard(traj["next_latents"]),
+                    "log_probs": local_shard(traj["log_probs"]),
+                    "ts": local_shard(traj["ts"]),
                 }
             entry["prompts"] = np.array(sample_prompts)
             entry["callbacks"] = callbacks
@@ -591,7 +647,9 @@ def main(argv=None):
             else ()
         )
         device_samples = {
-            k: jnp.concatenate([s.pop(k) for s in samples]) for k in device_keys
+            # jitted concat: resident entries are global (possibly
+            # non-addressable) arrays — eager concat is illegal multi-host
+            k: jit_concat([s.pop(k) for s in samples]) for k in device_keys
         }
         samples = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs), *samples
@@ -739,15 +797,11 @@ def main(argv=None):
                         ts=batched["ts"][i][:, :num_train_ts].swapaxes(0, 1),
                     )
                     sharded = {
-                        k: (
-                            shard_batch(mesh, v)
-                            if k in base
-                            else jax.device_put(
-                                v,
-                                jax.sharding.NamedSharding(
-                                    mesh, jax.sharding.PartitionSpec(None, "dp")
-                                ),
-                            )
+                        # per-timestep tensors carry the batch on axis 1
+                        # ((T, B, ...) fused layout); both calls assemble
+                        # global arrays from the per-process local batch
+                        k: shard_batch(
+                            mesh, v, batch_axis=0 if k in base else 1
                         )
                         for k, v in batch.items()
                     }

@@ -77,17 +77,26 @@ def save_train_state(
     single extra state copy. Write errors are re-raised at the next join
     (wait_for_pending_saves / the next save / any restore).
     """
-    if jax.process_index() != 0 and not all_workers:
+    proc = jax.process_index()
+    if proc != 0 and not all_workers and host_state is None:
         return None
     # at most one in-flight write; also surfaces any earlier write error
     wait_for_pending_saves()
     path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
-    payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
+    if proc == 0 or all_workers:
+        payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
+    # host_state is PER-PROCESS (np/python RNG states, local stat buffers):
+    # every process persists its own file so a multi-host resume restores
+    # each host's RNG stream exactly (process 0 keeps the unsuffixed name
+    # for single-process back-compat)
+    host_path = f"{path}_host.pkl" if proc == 0 else f"{path}_host_p{proc}.pkl"
 
     def _write():
-        _checkpointer().save(path, payload, force=True)
+        if proc == 0 or all_workers:
+            _checkpointer().save(path, payload, force=True)
         if host_state is not None:
-            with open(f"{path}_host.pkl", "wb") as f:
+            os.makedirs(os.path.dirname(host_path), exist_ok=True)
+            with open(host_path, "wb") as f:
                 pickle.dump(host_state, f)
 
     if block:
@@ -134,11 +143,17 @@ def prune_checkpoints(savepath: str, keep: int) -> int:
 
     steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
     removed = 0
+    import glob
+
     for step in steps[:-keep] if keep < len(steps) else []:
         shutil.rmtree(os.path.join(root, str(step)), ignore_errors=True)
-        host = os.path.join(root, f"{step}_host.pkl")
-        if os.path.exists(host):
-            os.remove(host)
+        # every per-process host pickle; missing_ok guards the multi-host
+        # shared-filesystem case where processes prune concurrently
+        for host in glob.glob(os.path.join(root, f"{step}_host*.pkl")):
+            try:
+                os.remove(host)
+            except FileNotFoundError:
+                pass
         removed += 1
     return removed
 
@@ -161,7 +176,10 @@ def restore_train_state(savepath: str, step: Optional[int] = None, target: Any =
         )
     else:
         restored = _checkpointer().restore(path)
-    host_path = f"{path}_host.pkl"
+    proc = jax.process_index()
+    host_path = f"{path}_host.pkl" if proc == 0 else f"{path}_host_p{proc}.pkl"
+    if proc != 0 and not os.path.exists(host_path):
+        host_path = f"{path}_host.pkl"  # pre-round-4 checkpoints
     if os.path.exists(host_path):
         with open(host_path, "rb") as f:
             restored = dict(restored, host=pickle.load(f))

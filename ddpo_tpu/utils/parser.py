@@ -140,6 +140,13 @@ class Parser:
         seed = getattr(args, "seed", None)
         if seed is None:
             seed = np.random.randint(0, int(1e6))
+        # base_seed is process-independent: REPLICATED device state (model
+        # random-init, LoRA init, the sampler/train PRNG keys fed to
+        # global-mesh programs) must be built from it or multi-host
+        # replication diverges (caught by tests/test_multiprocess_preemption
+        # .py). The per-process `seed` keeps host-side diversity: prompt
+        # sampling and local shuffles (reference parity: per-worker seeds).
+        args.set("base_seed", seed)
         seed = seed + jax.process_index()
         args.set("seed", seed)
         random.seed(seed)

@@ -150,7 +150,7 @@ def test_policy_gradient_driver_sp2(workdir):
     rewards = policy_gradient.main(
         COMMON + ["--num_train_epochs", "1", "--sample_batch_size", "1",
                   "--train_batch_size", "1", "--save_freq", "1000",
-                  "--mesh_sp", "2"]
+                  "--mesh_sp", "2", "--sp_mode", "attention"]
     )
     assert len(rewards) == 1 and np.isfinite(rewards[0])
     logdir = workdir / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
