@@ -65,12 +65,15 @@ def main():
         return model.apply({"params": p}, latents, t, context)
 
     def make_state():
+        # adafactor, matching bench_train.py and the real-chip learning runs:
+        # fp32 master + adamw moments exceed 16GB HBM at SD scale (measured:
+        # the adamw variant of this bench OOMs at 16.24G vs 15.75G), so
+        # adafactor IS the production optimizer at this geometry.
         return AccumulatingTrainState.create(
             apply_fn=apply,
             params=params,
             tx=optax.chain(
-                optax.clip_by_global_norm(1.0),
-                optax.adamw(1e-5, mu_dtype=jnp.bfloat16),
+                optax.clip_by_global_norm(1.0), optax.adafactor(1e-5)
             ),
             accumulate=False,
         )

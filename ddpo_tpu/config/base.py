@@ -25,6 +25,12 @@ base = {
         "pretrained_model": "duongna/stable-diffusion-v1-4-flax",
         "prompt_kwargs": {},
         "n_inference_steps": 50,
+        # "ddim" (reference parity) or "dpm++": DPM-Solver++(2M) — RWR
+        # collection keeps only images+rewards, so the deterministic
+        # few-step solver applies; measured 2.38x DDIM-50 throughput at
+        # closer-than-DDIM-20 endpoint quality (bench_dpm.py). Pair with
+        # --n_inference_steps 20.
+        "scheduler": "ddim",
         "eta": 1.0,
         "resolution": 512,
         "max_samples": 50e3,
@@ -175,10 +181,12 @@ base = {
         "ppo_clip_range": 2e-4,
         "train_cfg": True,
         # 0 = full finetune (reference behavior). >0 trains rank-r LoRA
-        # adapters on the attention projections only (models/lora.py):
-        # ~300x smaller optimizer/checkpoint state and dp all-reduces at
-        # r=8; base UNet frozen. LoRA runs typically want a larger lr
-        # (~1e-4 vs 1e-5) — set --learning_rate explicitly.
+        # adapters on the attention projections only (models/lora.py).
+        # Measured at r=8 on v5e (bench_lora.py, round 4): train state
+        # 180x smaller (18.2 vs 3286 MB — checkpoints + dp all-reduces),
+        # trainable 537x smaller, step 1.25x FASTER than full finetune.
+        # LoRA runs typically want a larger lr (~1e-4 vs 1e-5) — set
+        # --learning_rate explicitly.
         "lora_rank": 0,
         "learning_rate": 1e-5,
         # "constant" (reference) | "linear" | "cosine"; warmup in optimizer

@@ -21,7 +21,13 @@ from ddpo_tpu.data.hdf5 import RemoteWriter, encode_generic, decode_generic
 from ddpo_tpu.models.tokenizer import make_uncond_ids
 from ddpo_tpu.parallel import MeshConfig, batch_sharding, create_mesh, replicated, shard_batch
 from ddpo_tpu.parallel.collectives import worker_sum
-from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
+from ddpo_tpu.sampling import (
+    SamplerConfig,
+    sample_images,
+    sample_images_ode,
+    sample_images_sharded,
+    vae_decode,
+)
 from ddpo_tpu.utils import StreamingAverage, Timer, make_masker
 from ddpo_tpu.utils.images import decode_jpeg, encode_jpeg
 from ddpo_tpu.utils.metrics import MetricsLogger
@@ -71,7 +77,30 @@ def main(argv=None):
         seed=args.seed,
         model_preset=getattr(args, "model_preset", "sd14"),
     )
-    scheduler = models.scheduler
+    # collection never consumes the denoising chain (only decoded images +
+    # rewards are stored — reference pipeline/sample.py:106-126 likewise),
+    # so sampling is trajectory-free here, and the few-step ODE solver is
+    # a valid drop-in: --scheduler dpm++ --n_inference_steps 20 collects
+    # 2.38x faster than DDIM-50 at closer-than-DDIM-20 endpoint quality
+    # (bench_dpm.py, v5e). DDIM stays the default for reference parity.
+    scheduler_kind = getattr(args, "scheduler", "ddim")
+    if scheduler_kind == "dpm++":
+        from ddpo_tpu.core.scheduler import DPMSolverPlusPlus
+
+        d = models.scheduler
+        scheduler = DPMSolverPlusPlus(
+            num_train_timesteps=d.num_train_timesteps,
+            beta_start=d.beta_start,
+            beta_end=d.beta_end,
+            beta_schedule=d.beta_schedule,
+            prediction_type=d.prediction_type,
+        )
+        local_sample_fn = sample_images_ode
+    elif scheduler_kind == "ddim":
+        scheduler = models.scheduler
+        local_sample_fn = sample_images
+    else:
+        raise ValueError(f"unknown scheduler {scheduler_kind!r} (ddim|dpm++)")
     sched_state = jax.device_put(scheduler.create_state(), replicated(mesh))
     # store sampler weights in the compute dtype: inference is HBM-bound
     act_dtype = _dtype(getattr(args, "dtype", "bfloat16"))
@@ -96,19 +125,18 @@ def main(argv=None):
         latent_channels=models.vae.config.latent_channels,
     )
     if dp > 1:
-        from ddpo_tpu.sampling.sampler import sample_trajectories_sharded
-
         sample_fn = jax.jit(
             lambda params, scheduler_state, prompt_embeds, uncond_embeds, key:
-            sample_trajectories_sharded(
+            sample_images_sharded(
                 mesh, unet_apply, params, scheduler, scheduler_state,
                 prompt_embeds, uncond_embeds, key, sampler_config,
+                sample_fn=local_sample_fn,
             )
         )
     else:
         sample_fn = jax.jit(
             functools.partial(
-                sample_trajectories, unet_apply, scheduler=scheduler,
+                local_sample_fn, unet_apply, scheduler=scheduler,
                 config=sampler_config,
             )
         )
@@ -159,7 +187,7 @@ def main(argv=None):
         prompt_ids = models.tokenizer(inference_prompts)
         prompt_embeds = text_encode(jnp.asarray(prompt_ids))
 
-        traj = sample_fn(
+        final_latents = sample_fn(
             unet_params,
             scheduler_state=sched_state,
             prompt_embeds=jax.device_put(prompt_embeds, batch_sharding(mesh)),
@@ -167,7 +195,7 @@ def main(argv=None):
             key=seed,
         )
         images = np.asarray(
-            jax.device_get(decode_fn(vae_params, traj["final_latents"]))
+            jax.device_get(decode_fn(vae_params, final_latents))
         ).astype(np.float32)
         print(f"[ sample ] {len(images)} samples in {timer():.2f}s")
 

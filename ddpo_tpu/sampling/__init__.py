@@ -2,7 +2,9 @@ from ddpo_tpu.sampling.sampler import (
     SamplerConfig,
     sample_images,
     sample_images_ode,
+    sample_images_sharded,
     sample_trajectories,
+    sample_trajectories_sharded,
     vae_decode,
 )
 
@@ -10,6 +12,8 @@ __all__ = [
     "SamplerConfig",
     "sample_images",
     "sample_images_ode",
+    "sample_images_sharded",
     "sample_trajectories",
+    "sample_trajectories_sharded",
     "vae_decode",
 ]
