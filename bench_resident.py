@@ -59,6 +59,13 @@ def main():
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 77, 768)),
     )["params"]
+    # keep the master tree on HOST: both phases donate their state, and a
+    # device-resident master would either be deleted by the first donation
+    # (INVALID_ARGUMENT on reuse) or, if copied on device, double the 3.28GB
+    # param footprint and OOM the 16GB chip next to the optimizer state.
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), params
+    )
 
     @jax.checkpoint
     def apply(p, latents, t, context):
@@ -71,7 +78,7 @@ def main():
         # adafactor IS the production optimizer at this geometry.
         return AccumulatingTrainState.create(
             apply_fn=apply,
-            params=params,
+            params=jax.tree_util.tree_map(jnp.asarray, params),
             tx=optax.chain(
                 optax.clip_by_global_norm(1.0), optax.adafactor(1e-5)
             ),

@@ -208,7 +208,16 @@ base = {
         # TPU-native extensions (not in the reference)
         "fused_train_loop": True,  # scan over timesteps in one dispatch
         # (equivalence-tested vs per-timestep dispatch; 1.8x on v5e)
-        "resident_inner_loop": False,  # full inner epoch on device, no host round-trip
+        # Full inner epoch on device (one dispatch: shuffle + rebatch +
+        # minibatch scan) vs the host loop (numpy shuffle + one dispatch
+        # per minibatch). Measured a WASH at production geometry (v5e,
+        # bs8 T50 512px train_bs2: 35.3s resident vs 35.5s host, 1.006x
+        # — bench_resident.py, round 4): 4 dispatches of ~9s each leave
+        # nothing for dispatch overhead to save. Host loop stays the
+        # default for its simpler failure surface and per-minibatch
+        # host-visible infos; the resident path remains available and
+        # equivalence-tested for geometries with many small minibatches.
+        "resident_inner_loop": False,
         "mesh_tp": 1,  # tensor-parallel axis size
         "mesh_sp": 1,  # sequence-parallel axis size (latent self-attention)
         # "spatial": whole-UNet shard_map, H sharded — halo-exchange convs
