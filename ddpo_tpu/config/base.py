@@ -31,6 +31,11 @@ base = {
         # closer-than-DDIM-20 endpoint quality (bench_dpm.py). Pair with
         # --n_inference_steps 20.
         "scheduler": "ddim",
+        # "int8": W8A8 quantized resnet convs in the sampling UNet
+        # (2x-rate MXU path, ops/quant.py) — inference-only speedup for
+        # data collection; the stored images/latents are what trains, so
+        # quantization shifts sample statistics slightly but nothing else
+        "quant": "none",
         "eta": 1.0,
         "resolution": 512,
         "max_samples": 50e3,
@@ -87,6 +92,7 @@ base = {
         "n_samples_per_device": 4,
         "n_inference_steps": 50,
         "scheduler": "ddim",  # or "dpm++": DPM-Solver++(2M), ~20 steps enough
+        "quant": "none",  # "int8": W8A8 resnet convs (ops/quant.py)
         "eta": 1.0,
         "resolution": 512,
         "guidance_scale": 5.0,  # or "auto" -> loadpath/metadata.json

@@ -42,6 +42,7 @@ class Conv3x3(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    quant: bool = False  # W8A8 int8 inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,7 +58,9 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        return conv3x3(x, kernel, bias, spatial_axis=self.spatial_axis)
+        return conv3x3(
+            x, kernel, bias, spatial_axis=self.spatial_axis, quant=self.quant
+        )
 
 def timestep_embedding(
     timesteps: jnp.ndarray,
@@ -134,6 +137,7 @@ class ResnetBlock2D(nn.Module):
     use_time_emb: bool = True
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -142,7 +146,10 @@ class ResnetBlock2D(nn.Module):
         sp = self.spatial_axis
 
         h = GroupNorm(silu=True, spatial_axis=sp, name="norm1")(x)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, spatial_axis=sp, name="conv1")(h)
+        h = Conv3x3(
+            self.out_channels, dtype=self.dtype, spatial_axis=sp,
+            quant=self.quant, name="conv1",
+        )(h)
 
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
@@ -151,7 +158,10 @@ class ResnetBlock2D(nn.Module):
             h = h + t[:, None, None, :]
 
         h = GroupNorm(silu=True, spatial_axis=sp, name="norm2")(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, spatial_axis=sp, name="conv2")(h)
+        h = Conv3x3(
+            self.out_channels, dtype=self.dtype, spatial_axis=sp,
+            quant=self.quant, name="conv2",
+        )(h)
 
         if in_channels != self.out_channels:
             residual = nn.Conv(
@@ -322,6 +332,7 @@ class Upsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -329,7 +340,7 @@ class Upsample2D(nn.Module):
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         return Conv3x3(
             self.channels, dtype=self.dtype, spatial_axis=self.spatial_axis,
-            name="conv",
+            quant=self.quant, name="conv",
         )(x)
 
 

@@ -74,6 +74,7 @@ class DownBlock2D(nn.Module):
     add_downsample: bool
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    quant: bool = False  # W8A8 int8 resnet/upsampler convs (inference)
 
     @nn.compact
     def __call__(self, x, temb, context):
@@ -81,7 +82,8 @@ class DownBlock2D(nn.Module):
         for j in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, dtype=self.dtype,
-                spatial_axis=self.spatial_axis, name=f"resnets_{j}"
+                spatial_axis=self.spatial_axis, quant=self.quant,
+                name=f"resnets_{j}"
             )(x, temb)
             if self.has_attn:
                 x = Transformer2D(
@@ -108,6 +110,7 @@ class UpBlock2D(nn.Module):
     add_upsample: bool
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, residuals, temb, context):
@@ -115,7 +118,8 @@ class UpBlock2D(nn.Module):
             x = jnp.concatenate([x, residuals.pop()], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, dtype=self.dtype,
-                spatial_axis=self.spatial_axis, name=f"resnets_{j}"
+                spatial_axis=self.spatial_axis, quant=self.quant,
+                name=f"resnets_{j}"
             )(x, temb)
             if self.has_attn:
                 x = Transformer2D(
@@ -125,7 +129,8 @@ class UpBlock2D(nn.Module):
         if self.add_upsample:
             x = Upsample2D(
                 self.out_channels, dtype=self.dtype,
-                spatial_axis=self.spatial_axis, name="upsamplers_0",
+                spatial_axis=self.spatial_axis, quant=self.quant,
+                name="upsamplers_0",
             )(x)
         return x
 
@@ -135,19 +140,22 @@ class MidBlock2D(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context):
         sp = self.spatial_axis
         x = ResnetBlock2D(
-            self.channels, dtype=self.dtype, spatial_axis=sp, name="resnets_0"
+            self.channels, dtype=self.dtype, spatial_axis=sp,
+            quant=self.quant, name="resnets_0"
         )(x, temb)
         x = Transformer2D(
             self.heads, self.channels // self.heads, dtype=self.dtype,
             spatial_axis=sp, name="attentions_0",
         )(x, context)
         x = ResnetBlock2D(
-            self.channels, dtype=self.dtype, spatial_axis=sp, name="resnets_1"
+            self.channels, dtype=self.dtype, spatial_axis=sp,
+            quant=self.quant, name="resnets_1"
         )(x, temb)
         return x
 
@@ -161,6 +169,11 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig = SD14_UNET
     dtype: jnp.dtype = jnp.float32
     spatial_axis: Optional[str] = None
+    # W8A8 int8 resnet/upsampler convs on the 2x-rate MXU path, for
+    # inference sampling only (ops/quant.py). conv_in/conv_out stay in
+    # self.dtype: 4-channel endpoints, negligible FLOPs, and conv_out sets
+    # the eps-prediction precision. Identical param tree either way.
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -204,13 +217,15 @@ class UNet2DCondition(nn.Module):
                 add_downsample=i < n_blocks - 1,
                 dtype=self.dtype,
                 spatial_axis=self.spatial_axis,
+                quant=self.quant,
                 name=f"down_blocks_{i}",
             )(x, temb, context)
             residuals.extend(res)
 
         x = MidBlock2D(
             cfg.block_out_channels[-1], heads, dtype=self.dtype,
-            spatial_axis=self.spatial_axis, name="mid_block",
+            spatial_axis=self.spatial_axis, quant=self.quant,
+            name="mid_block",
         )(x, temb, context)
 
         reversed_channels = list(reversed(cfg.block_out_channels))
@@ -224,6 +239,7 @@ class UNet2DCondition(nn.Module):
                 add_upsample=i < n_blocks - 1,
                 dtype=self.dtype,
                 spatial_axis=self.spatial_axis,
+                quant=self.quant,
                 name=f"up_blocks_{i}",
             )(x, residuals, temb, context)
         assert not residuals

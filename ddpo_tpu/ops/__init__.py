@@ -7,6 +7,7 @@ from ddpo_tpu.ops.attention import (
 )
 from ddpo_tpu.ops.conv import conv3x3_direct, conv3x3_xla
 from ddpo_tpu.ops.groupnorm import group_norm, group_norm_silu
+from ddpo_tpu.ops.quant import conv3x3_w8a8, quantize_symmetric
 
 __all__ = [
     "attention",
@@ -16,6 +17,8 @@ __all__ = [
     "set_flash_enabled",
     "conv3x3_direct",
     "conv3x3_xla",
+    "conv3x3_w8a8",
+    "quantize_symmetric",
     "group_norm",
     "group_norm_silu",
 ]

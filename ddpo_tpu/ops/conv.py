@@ -212,7 +212,7 @@ def _conv3x3_bwd(res, g):
 _conv3x3_pallas_op.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
-def conv3x3(x, w, bias=None, spatial_axis=None):
+def conv3x3(x, w, bias=None, spatial_axis=None, quant=False):
     """3x3 stride-1 SAME conv used by the model layers.
 
     Auto-dispatch: the Pallas kernel on TPU backends at shapes where it
@@ -222,11 +222,20 @@ def conv3x3(x, w, bias=None, spatial_axis=None):
     H dim sharded over it (parallel/spatial.py). The shard exchanges one
     halo row with each H neighbor and convolves VALID over H — exactly
     global SAME padding (ops/spatial.py docstring).
+
+    quant: W8A8 dynamic int8 path for inference sampling (ops/quant.py) —
+    2x-rate MXU, measured 1.27-3.1x at production shapes. Composes with
+    spatial_axis (activation scales become shard-local, still a valid
+    symmetric quantization).
     """
     if spatial_axis is not None:
         from ddpo_tpu.ops.spatial import halo_exchange_rows
 
         xh = halo_exchange_rows(x, spatial_axis)
+        if quant:
+            from ddpo_tpu.ops.quant import conv3x3_w8a8
+
+            return conv3x3_w8a8(xh, w, bias, padding=((0, 0), (1, 1)))
         out = jax.lax.conv_general_dilated(
             xh, w.astype(x.dtype),
             window_strides=(1, 1),
@@ -236,6 +245,10 @@ def conv3x3(x, w, bias=None, spatial_axis=None):
         if bias is not None:
             out = out + bias.astype(out.dtype)
         return out
+    if quant:
+        from ddpo_tpu.ops.quant import conv3x3_w8a8
+
+        return conv3x3_w8a8(x, w, bias)
     use_kernel = _CONV_OVERRIDE
     if use_kernel is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")

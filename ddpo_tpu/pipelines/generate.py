@@ -80,6 +80,11 @@ def main(argv=None):
         seed=args.seed,
         model_preset=getattr(args, "model_preset", "sd14"),
     )
+    if getattr(args, "quant", "none") == "int8":
+        # W8A8 int8 resnet convs on the 2x-rate MXU path (ops/quant.py);
+        # same param tree, compute path only — valid for inference drivers
+        models = models._replace(unet=models.unet.clone(quant=True))
+        print(f"[ generate ] quant=int8: W8A8 resnet convs in the sampling UNet")
     scheduler_kind = getattr(args, "scheduler", "ddim")
     if scheduler_kind == "dpm++":
         # deterministic few-step ODE solver for inference; same noise

@@ -77,6 +77,11 @@ def main(argv=None):
         seed=args.seed,
         model_preset=getattr(args, "model_preset", "sd14"),
     )
+    if getattr(args, "quant", "none") == "int8":
+        # W8A8 int8 resnet convs on the 2x-rate MXU path (ops/quant.py);
+        # same param tree, compute path only — valid for inference drivers
+        models = models._replace(unet=models.unet.clone(quant=True))
+        print(f"[ sample ] quant=int8: W8A8 resnet convs in the sampling UNet")
     # collection never consumes the denoising chain (only decoded images +
     # rewards are stored — reference pipeline/sample.py:106-126 likewise),
     # so sampling is trajectory-free here, and the few-step ODE solver is
