@@ -191,8 +191,12 @@ base = {
         # Measured at r=8 on v5e (bench_lora.py, round 4): train state
         # 180x smaller (18.2 vs 3286 MB — checkpoints + dp all-reduces),
         # trainable 537x smaller, step 1.25x FASTER than full finetune.
-        # LoRA runs typically want a larger lr (~1e-4 vs 1e-5) — set
-        # --learning_rate explicitly.
+        # lr is MEASURED, not folklore (40-epoch real-chip curves,
+        # BENCHLOG round 4): at r=8, lr=1e-4 barely moves the policy
+        # (kl ~2e-6, best reward -217.6); lr=1e-3 learns PAST the
+        # full-finetune curve (best -189.7 vs -207.3) and stays stable
+        # (kl <= 1.8e-3, clipfrac <= 0.18). Use --learning_rate 1e-3
+        # with --lora_rank 8.
         "lora_rank": 0,
         "learning_rate": 1e-5,
         # "constant" (reference) | "linear" | "cosine"; warmup in optimizer
