@@ -75,7 +75,10 @@ def main():
         # adafactor, matching bench_train.py and the real-chip learning runs:
         # fp32 master + adamw moments exceed 16GB HBM at SD scale (measured:
         # the adamw variant of this bench OOMs at 16.24G vs 15.75G), so
-        # adafactor IS the production optimizer at this geometry.
+        # adafactor is the only optimizer that fits BOTH loops on one v5e
+        # chip at this geometry — the measurement is adafactor-specific.
+        # (config/base.py pg keeps optimizer=adamw as the reference-parity
+        # default; its resident_inner_loop comment notes this caveat.)
         return AccumulatingTrainState.create(
             apply_fn=apply,
             params=jax.tree_util.tree_map(jnp.asarray, params),
