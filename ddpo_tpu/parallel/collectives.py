@@ -74,6 +74,54 @@ def all_processes_equal(tree, name: str = "tree") -> None:
     multihost_utils.assert_equal(tree, name)
 
 
+def process_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes via the coordination service (no device work).
+
+    Cross-process CPU collectives establish their gloo communicators lazily
+    at a program's FIRST execution, under a hard 30s key-value rendezvous
+    deadline inside the runtime. Hosts drift (compiles, per-host work:
+    checkpoints, reward callbacks, metrics), and a host arriving >30s late
+    at a new collective program kills the run. A coordination-service
+    barrier costs one RPC, tolerates ``timeout_ms`` of skew, and brings
+    every process to the phase boundary together — the drivers call it
+    before each phase that first executes a new global-mesh program. The
+    same pattern protects real pods where hosts compile/checkpoint at
+    different speeds (megascale init has analogous deadlines). ``name``
+    must be unique per use (the service rejects reused barrier ids).
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # processes launched without jax.distributed
+        return
+    client.wait_at_barrier(name, timeout_ms)
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Eagerly establish the cross-process communicator for ``mesh``.
+
+    CPU multi-process collectives create their gloo context lazily at the
+    first execution of a program over a new device clique, under a hard 30s
+    rendezvous deadline — but contexts are cached PER CLIQUE, so one tiny
+    all-reduce over the full mesh now (while hosts are seconds apart, right
+    after distributed init) means every later program over this mesh —
+    including the train step that first executes after minutes of
+    host-skewed compilation — reuses the established context. Pairs with
+    process_barrier (which bounds the skew at phase boundaries). No-op
+    single-process, cheap always (one scalar-ish all-reduce).
+    """
+    if jax.process_count() == 1:
+        return
+    n = mesh.devices.size
+    x = jax.device_put(
+        np.ones((n,), np.float32), NamedSharding(mesh, P(mesh.axis_names))
+    )
+    # sum over a fully-sharded array -> one all-reduce across every device
+    np.asarray(jax.jit(jnp.sum)(x))
+
+
 def n_params(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 

@@ -41,7 +41,11 @@ from ddpo_tpu.parallel import (
     replicated,
     shard_batch,
 )
-from ddpo_tpu.parallel.collectives import all_processes_equal, n_params
+from ddpo_tpu.parallel.collectives import (
+    all_processes_equal,
+    n_params,
+    process_barrier,
+)
 from ddpo_tpu.sampling import SamplerConfig, sample_trajectories, vae_decode
 from ddpo_tpu.training.optim import build_optimizer
 from ddpo_tpu.training.policy_gradient import AccumulatingTrainState
@@ -84,6 +88,13 @@ def main(argv=None):
         tp=getattr(args, "mesh_tp", 1), sp=getattr(args, "mesh_sp", 1)
     ))
     n_devices = mesh.devices.size
+    # establish the full-mesh cross-process communicator NOW, while hosts
+    # are seconds apart — later programs (the train step after minutes of
+    # host-skewed compilation) reuse the cached context (see
+    # warmup_collectives)
+    from ddpo_tpu.parallel.collectives import warmup_collectives
+
+    warmup_collectives(mesh)
     dp = mesh.shape["dp"]
     # per-worker semantics (reference pipeline/policy_gradient.py:223-464):
     # every process builds prompts/batches for ITS dp slice of the mesh;
@@ -444,6 +455,22 @@ def main(argv=None):
     # LoRA: the frozen base rides into every step as a runtime kwarg
     # (None otherwise — an empty pytree, free under jit)
     train_frozen = base_unet_params if lora_rank else None
+    step_kwargs = {}
+    grad_reduce = getattr(args, "grad_reduce_dtype", "none")
+    if grad_reduce != "none":
+        assert getattr(args, "fused_train_loop", False), (
+            "--grad_reduce_dtype requires the fused train loop"
+        )
+        assert mesh.shape["tp"] == 1 and mesh.shape["sp"] == 1, (
+            "--grad_reduce_dtype supports pure-dp meshes"
+        )
+        step_kwargs = {
+            "grad_reduce_mesh": mesh,
+            "grad_reduce_dtype": {
+                "bfloat16": jnp.bfloat16, "float32": jnp.float32
+            }[grad_reduce],
+        }
+        print(f"[ pg ] gradient all-reduce dtype: {grad_reduce}")
     jit_train_step = jax.jit(
         functools.partial(
             step_fn,
@@ -453,6 +480,7 @@ def main(argv=None):
             eta=args.eta,
             clip_range=args.ppo_clip_range,
             cfg_concat=cfg_concat,
+            **step_kwargs,
         ),
         static_argnames=("do_opt_update",),
         donate_argnums=(0,),
@@ -565,6 +593,9 @@ def main(argv=None):
             jax.profiler.start_trace(profile_dir)
 
         # ============================ sampling phase =========================== #
+        # host alignment at the epoch boundary (checkpoint/metrics work from
+        # the previous epoch is per-host; see process_barrier)
+        process_barrier(f"pg_sample_{epoch}")
         # sampling reads weights once per UNet call and is HBM-bandwidth
         # bound: cast the fp32 master params to the sampling dtype on device
         # (one cheap cast per epoch halves weight traffic for bf16)
@@ -665,11 +696,29 @@ def main(argv=None):
             rewards = np.asarray(
                 multihost_utils.process_allgather(samples["rewards"], tiled=True)
             )
-            all_prompts = multihost_utils.process_allgather(
-                np.array([p.encode() for p in samples["prompts"].tolist()]),
-                tiled=True,
+            # Prompts are gathered as a fixed-width uint8 view of their UTF-8
+            # bytes: JAX collectives reject numpy |S byte-string dtypes, so we
+            # first agree on a global pad width with an int gather, then gather
+            # NUL-padded byte rows (valid UTF-8 text never contains NUL).
+            # Reference gathers tokenized int ids for the same reason
+            # (pipeline/policy_gradient.py:329-334); a raw-byte gather is
+            # tokenizer-independent and lossless.
+            encoded = [p.encode("utf-8") for p in samples["prompts"].tolist()]
+            local_width = max((len(e) for e in encoded), default=0)
+            width = int(
+                multihost_utils.process_allgather(
+                    np.asarray(local_width, dtype=np.int32)
+                ).max()
             )
-            all_prompts = np.array([p.decode() for p in all_prompts.tolist()])
+            buf = np.zeros((len(encoded), max(width, 1)), dtype=np.uint8)
+            for i, e in enumerate(encoded):
+                buf[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+            gathered = np.asarray(
+                multihost_utils.process_allgather(buf, tiled=True)
+            )
+            all_prompts = np.array(
+                [bytes(row).rstrip(b"\x00").decode("utf-8") for row in gathered]
+            )
         else:
             rewards = samples["rewards"]
             all_prompts = samples["prompts"]
@@ -708,6 +757,11 @@ def main(argv=None):
                 del samples[name]
 
         # ============================ training phase =========================== #
+        # align hosts before the phase's first global-mesh program executes:
+        # a host >30s late at a NEW cross-process collective (per-host work
+        # above: callbacks, np.save, metrics) hits the runtime's hard gloo
+        # rendezvous deadline (see process_barrier)
+        process_barrier(f"pg_train_{epoch}")
         if resident:
             device_samples["advantages"] = shard_batch(
                 mesh, jnp.asarray(samples["advantages"], dtype=jnp.float32)

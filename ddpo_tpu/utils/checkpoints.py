@@ -22,9 +22,40 @@ import numpy as np
 from ddpo_tpu.utils import filesystem as fs
 
 
+def _use_distributed_barriers() -> None:
+    """Route Orbax's internal process syncs over the coordination service.
+
+    Orbax brackets every save/restore with sync_global_processes; its
+    default implementation is a DEVICE collective (process_allgather).
+    The async checkpoint thread would then issue device collectives
+    concurrently with the main thread's training collectives — the two
+    processes' collective streams interleave differently and either cross
+    data or deadlock (observed deterministically on the 2-process CPU
+    harness: the epoch-1 train-infos allgather returned another tensor's
+    bytes, and a later run deadlocked with the save thread parked inside
+    process_allgather). The distributed barrier is a coordination-service
+    RPC keyed by barrier name: thread-safe next to device collectives and
+    timeout-bounded. Orbax gates it behind an absl flag.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from absl import flags
+
+    f = flags.FLAGS
+    if not f.is_parsed():
+        f.mark_as_parsed()
+    try:
+        f.experimental_orbax_use_distributed_barrier = True
+    except (AttributeError, flags.UnrecognizedFlagError):  # older orbax
+        pass
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    _use_distributed_barriers()
     return ocp.PyTreeCheckpointer()
 
 
@@ -78,12 +109,23 @@ def save_train_state(
     (wait_for_pending_saves / the next save / any restore).
     """
     proc = jax.process_index()
-    if proc != 0 and not all_workers and host_state is None:
+    multiproc = jax.process_count() > 1
+    if (
+        proc != 0
+        and not all_workers
+        and host_state is None
+        and not multiproc
+    ):
         return None
     # at most one in-flight write; also surfaces any earlier write error
     wait_for_pending_saves()
     path = os.path.abspath(os.path.join(savepath, "checkpoints", str(step)))
-    if proc == 0 or all_workers:
+    # Orbax's contract: in a multi-process runtime EVERY process calls
+    # save() (it barriers internally and writes from the primary host
+    # only) — a process-0-gated call desyncs its barrier sequence. The
+    # replicated payload is host-materialized on every process.
+    orbax_writer = proc == 0 or all_workers or multiproc
+    if orbax_writer:
         payload = jax.tree_util.tree_map(np.asarray, jax.device_get(payload))
     # host_state is PER-PROCESS (np/python RNG states, local stat buffers):
     # every process persists its own file so a multi-host resume restores
@@ -92,7 +134,7 @@ def save_train_state(
     host_path = f"{path}_host.pkl" if proc == 0 else f"{path}_host_p{proc}.pkl"
 
     def _write():
-        if proc == 0 or all_workers:
+        if orbax_writer:
             _checkpointer().save(path, payload, force=True)
         if host_state is not None:
             os.makedirs(os.path.dirname(host_path), exist_ok=True)

@@ -28,7 +28,45 @@ if os.environ.get("DDPO_TPU_TEST_BACKEND", "cpu") == "cpu":
 # wall time in XLA compilation of identical programs.
 import jax as _jax  # noqa: E402
 
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+def _machine_tag() -> str:
+    """Fingerprint of this host's CPU features for the cache path.
+
+    XLA:CPU AOT artifacts bake in the compile machine's instruction set;
+    loading an entry produced on a different host (e.g. an AMX-capable VM
+    from a previous session) is at best a warning and at worst a DIFFERENT
+    executable than a fresh compile — in one observed failure, worker 0
+    loaded foreign-machine executables while worker 1 compiled fresh, and
+    the two processes' collective streams crossed (train-infos allgather
+    returned another tensor's bytes). Scoping the cache dir by machine
+    makes entries unshareable across host types. The flags line alone is
+    NOT enough: two VM generations here (Sapphire vs Emerald Rapids)
+    advertise identical flags yet XLA derives different target features
+    (prefer-no-gather) from CPUID — include family/model/stepping, which
+    virtualization passes through.
+    """
+    import hashlib
+    import platform
+
+    keys = ("flags", "cpu family", "model\t", "model :", "stepping")
+    lines = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for l in f:
+                if any(l.startswith(k) for k in keys):
+                    lines.append(l)
+                if len(lines) >= 4:
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(
+        (platform.machine() + "".join(lines)).encode()
+    ).hexdigest()[:8]
+
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), f".jax_cache-{_machine_tag()}"
+)
 _jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 # persist EVERYTHING: suite profiling (JAX_LOG_COMPILES on the heavy tests)
 # showed ~1.5k eager micro-compiles of 40-100ms each per test module —

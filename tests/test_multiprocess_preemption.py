@@ -5,10 +5,12 @@ A pod preemption SIGTERMs every host at once. The single-process test
 signal -> epoch-boundary checkpoint -> resume path in one process; this one
 runs the REAL multi-host machinery end to end: the PG driver in two
 jax.distributed processes (2 local CPU devices each, dp=4 across both),
-a deterministic SIGTERM raised in BOTH processes during epoch 1, a
-process-0-gated Orbax checkpoint both processes agree on, then a
-two-process --resume whose reward curve and train losses must match an
-uninterrupted two-process run exactly.
+a deterministic SIGTERM raised in BOTH processes during epoch 1, an
+all-hosts Orbax checkpoint (Orbax's multi-process contract; it
+primary-gates the actual write), then a two-process --resume whose reward
+curve and train losses must match an uninterrupted two-process run
+exactly — plus a cross-process consistency check that every process
+restores an IDENTICAL tree from the newest checkpoint.
 
 Reference gap: the reference's multi-process save
 (pipeline/policy_gradient.py:457-464) checkpoints params only and has no
@@ -83,6 +85,19 @@ if mode == "resume":
     args += ["--resume", "True"]
 rewards = policy_gradient.main(args)
 print(f"REWARDS_{jax.process_index()} " + json.dumps([float(r) for r in rewards]))
+
+# cross-process checkpoint consistency (beyond the reference's
+# multiprocess save, pipeline/policy_gradient.py:457-464): every process
+# restores the newest checkpoint and the restored trees must be IDENTICAL
+# across hosts — not just the reward curves
+from ddpo_tpu.utils.checkpoints import restore_train_state
+from ddpo_tpu.parallel.collectives import all_processes_equal
+
+restored, step = restore_train_state("bucket/logs/debug-animals/models/pg")
+assert restored is not None
+all_processes_equal(restored["state"], f"restored train state (step {step})")
+all_processes_equal(np.asarray(restored["rng"]), "restored rng")
+print(f"CKPT_CONSISTENT_{jax.process_index()} step={step}")
 """
 
 
@@ -131,12 +146,25 @@ def _run_pair(tmp_path, workdir, mode, epochs):
         marker = [l for l in out.splitlines() if l.startswith(f"REWARDS_{i} ")]
         assert marker, f"{mode} worker {i} printed no rewards:\n{out[-2000:]}"
         rewards.append(json.loads(marker[0].split(" ", 1)[1]))
+        assert any(
+            l.startswith(f"CKPT_CONSISTENT_{i}") for l in out.splitlines()
+        ), f"{mode} worker {i} checkpoint consistency check missing:\n{out[-2000:]}"
     return rewards
 
 
 def _logdir(workdir):
+    """Checkpoint root (the driver's savepath)."""
     root = workdir / "bucket" / "logs" / "debug-animals" / "models" / "pg"
     assert root.is_dir(), f"driver artifacts missing under {root}"
+    return root
+
+
+def _locallog(workdir):
+    """Per-run artifact dir (the driver's localpath: train_info, curves)."""
+    root = (
+        workdir / "logs" / "bucket" / "logs" / "debug-animals" / "models" / "pg"
+    )
+    assert root.is_dir(), f"driver local artifacts missing under {root}"
     return root
 
 
@@ -155,9 +183,9 @@ def test_two_process_preemption_resume_matches_uninterrupted(tmp_path):
     # both processes see the identical (allgathered) reward history
     assert rewards_full[0] == rewards_full[1]
     assert len(rewards_full[0]) == 3
-    losses_full = _train_losses(_logdir(full_dir))
+    losses_full = _train_losses(_locallog(full_dir))
     curve_full = json.loads(
-        (_logdir(full_dir) / "reward_curve.json").read_text()
+        (_locallog(full_dir) / "reward_curve.json").read_text()
     )
 
     # 2-process run preempted during epoch 1: both hosts SIGTERM, driver
@@ -176,13 +204,13 @@ def test_two_process_preemption_resume_matches_uninterrupted(tmp_path):
     assert rewards_res[0] == rewards_res[1]
     np.testing.assert_allclose(rewards_res[0], rewards_full[0], rtol=1e-6)
 
-    losses_res = _train_losses(_logdir(pre_dir))
+    losses_res = _train_losses(_locallog(pre_dir))
     assert set(losses_res) == set(losses_full)
     for name in losses_full:
         np.testing.assert_allclose(
             losses_res[name], losses_full[name], rtol=1e-5,
             err_msg=f"train losses diverge after 2-process resume: {name}",
         )
-    curve_res = json.loads((_logdir(pre_dir) / "reward_curve.json").read_text())
+    curve_res = json.loads((_locallog(pre_dir) / "reward_curve.json").read_text())
     assert len(curve_res["mean"]) == 3
     np.testing.assert_allclose(curve_res["mean"], curve_full["mean"], rtol=1e-6)
