@@ -111,11 +111,17 @@ def main():
     t_q_dpm20, _ = timed(build(unet_q, dpm, sample_images_ode, 20, 0.0))
 
     # quality proxy: deterministic (eta=0) endpoint agreement, int8 vs bf16
-    # at the SAME step grid/seed — isolates the quantization error
+    # at the SAME step grid/seed — isolates the quantization error; measured
+    # on both shipped inference schedulers (DDIM-50 and DPM++-20)
     _, ref_bf = timed(build(unet, ddim, sample_images, 50, 0.0))
     _, q50 = timed(build(unet_q, ddim, sample_images, 50, 0.0))
+    _, ref_dpm = timed(build(unet, dpm, sample_images_ode, 20, 0.0))
+    _, q_dpm = timed(build(unet_q, dpm, sample_images_ode, 20, 0.0))
 
     rel = float(np.linalg.norm(q50 - ref_bf) / np.linalg.norm(ref_bf))
+    rel_dpm = float(
+        np.linalg.norm(q_dpm - ref_dpm) / np.linalg.norm(ref_dpm)
+    )
 
     line = {
         "metric": f"int8 DDIM-50 images/sec/chip at {res}px bs{bs}",
@@ -126,6 +132,7 @@ def main():
         "int8_dpm20_images_per_sec": round(bs / t_q_dpm20, 3),
         "int8_dpm20_vs_bf16_ddim50": round(t_bf50 / t_q_dpm20, 3),
         "rel_latent_err_int8_vs_bf16_ddim50_eta0": round(rel, 4),
+        "rel_latent_err_int8_vs_bf16_dpm20": round(rel_dpm, 4),
         "weights": "random-init (zero-egress env)",
         "device": jax.devices()[0].device_kind,
     }

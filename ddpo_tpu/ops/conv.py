@@ -226,7 +226,10 @@ def conv3x3(x, w, bias=None, spatial_axis=None, quant=False):
     quant: W8A8 dynamic int8 path for inference sampling (ops/quant.py) —
     2x-rate MXU, measured 1.27-3.1x at production shapes. Composes with
     spatial_axis (activation scales become shard-local, still a valid
-    symmetric quantization).
+    symmetric quantization). quant=True takes precedence over the
+    _CONV_OVERRIDE/Pallas dispatch below: fixtures that force the Pallas
+    kernel (set_conv_override) exercise the XLA int8 path when quant is
+    on — intentional, the int8 conv has no Pallas variant.
     """
     if spatial_axis is not None:
         from ddpo_tpu.ops.spatial import halo_exchange_rows

@@ -66,17 +66,42 @@ def conv3x3_w8a8(
 
     padding is exposed for the halo-exchange spatial path (VALID over H
     after the shard has fetched its boundary rows, ops/spatial.py).
+
+    INFERENCE ONLY: the round/clip/int8 cast is non-differentiable, so a
+    custom_vjp backward raises at trace time instead of silently emitting
+    zero gradients — a training/calibration path composed with quant=True
+    fails loudly (drivers gate the flag to inference, pipelines/sample.py
+    and pipelines/generate.py, but the op defends itself).
     """
-    xq, sx = quantize_symmetric(x, (1, 2, 3))        # (B,1,1,1)
-    wq, sw = quantize_symmetric(w, (0, 1, 2))        # (1,1,1,Cout) -> squeeze
-    acc = jax.lax.conv_general_dilated(
-        xq, wq,
-        window_strides=(1, 1),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    out = acc.astype(jnp.float32) * (sx * sw[0])     # (B,1,1,1)*(1,1,Cout)
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+
+    def _impl(x, w, bias):
+        xq, sx = quantize_symmetric(x, (1, 2, 3))    # (B,1,1,1)
+        wq, sw = quantize_symmetric(w, (0, 1, 2))    # (1,1,1,Cout) -> squeeze
+        acc = jax.lax.conv_general_dilated(
+            xq, wq,
+            window_strides=(1, 1),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * (sx * sw[0])  # (B,1,1,1)*(1,1,Cout)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    @jax.custom_vjp
+    def _conv(x, w, bias):
+        return _impl(x, w, bias)
+
+    def _fwd(x, w, bias):
+        return _impl(x, w, bias), None
+
+    def _bwd(res, g):
+        raise NotImplementedError(
+            "conv3x3_w8a8 is an inference-only op: the int8 round/clip is "
+            "non-differentiable. Train with quant disabled (the default); "
+            "quantize only the sampling/inference UNet."
+        )
+
+    _conv.defvjp(_fwd, _bwd)
+    return _conv(x, w, bias)

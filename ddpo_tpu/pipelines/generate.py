@@ -23,6 +23,7 @@ Run: python -m ddpo_tpu.pipelines.generate --dataset compressed-animals \
 from __future__ import annotations
 
 import functools
+import sys
 import json
 import os
 
@@ -87,6 +88,12 @@ def main(argv=None):
         print(f"[ generate ] quant=int8: W8A8 resnet convs in the sampling UNet")
     scheduler_kind = getattr(args, "scheduler", "ddim")
     if scheduler_kind == "dpm++":
+        raw_argv = argv if argv is not None else sys.argv[1:]
+        if "--eta" in raw_argv and float(getattr(args, "eta", 1.0)) != 0.0:
+            print(
+                "[ generate ] warning: --eta has no effect with "
+                "--scheduler dpm++ (deterministic ODE solver, eta=0)"
+            )
         # deterministic few-step ODE solver for inference; same noise
         # schedule as the checkpoint's DDIM config
         from ddpo_tpu.core.scheduler import DPMSolverPlusPlus

@@ -11,6 +11,7 @@ Run: python -m ddpo_tpu.pipelines.sample --dataset compressed-animals-rwr
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +91,12 @@ def main(argv=None):
     # (bench_dpm.py, v5e). DDIM stays the default for reference parity.
     scheduler_kind = getattr(args, "scheduler", "ddim")
     if scheduler_kind == "dpm++":
+        raw_argv = argv if argv is not None else sys.argv[1:]
+        if "--eta" in raw_argv and float(getattr(args, "eta", 1.0)) != 0.0:
+            print(
+                "[ sample ] warning: --eta has no effect with "
+                "--scheduler dpm++ (deterministic ODE solver, eta=0)"
+            )
         from ddpo_tpu.core.scheduler import DPMSolverPlusPlus
 
         d = models.scheduler

@@ -5,7 +5,11 @@ Coverage:
 - conv3x3_w8a8 vs the fp32 XLA conv: bounded relative error, dtype contract.
 - UNet quant flag: identical param tree, bounded activation deviation.
 - halo-exchange composition (quant + spatial_axis inside shard_map).
-- generate driver e2e with --quant int8 on the tiny preset.
+- driver e2e with --quant int8 on the tiny preset: generate AND the RWR
+  collection driver (sample.py), plus the stacked --quant int8
+  --scheduler dpm++ fastest-inference combination through both.
+- grad guard: differentiating through the quantized conv raises instead
+  of silently emitting zero gradients (the int8 round/clip has no vjp).
 
 The reference has no quantized inference of any kind; this accelerates the
 sampler scan it runs at bf16
@@ -144,6 +148,96 @@ def test_generate_driver_quant_int8(tmp_path, monkeypatch):
         ["--dataset", "debug-animals", "--quant", "int8",
          "--n_samples", "2", "--n_inference_steps", "3",
          "--prompts", "['a dog']", "--seed", "3"]
+    )
+    pngs = [f for f in os.listdir(outdir)
+            if f.endswith(".png") and not f.startswith("grid")]
+    assert len(pngs) == 2
+    meta = json.loads(open(os.path.join(outdir, "prompts.json")).read())
+    assert meta["prompts"] == ["a dog", "a dog"]
+
+
+def test_conv_w8a8_grad_raises():
+    """The int8 conv is inference-only: a grad trace through it must fail
+    loudly (custom_vjp bwd raises), not emit silent zero gradients."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 8))
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda w: conv3x3_w8a8(x, w).sum())(w)
+
+
+def _reload_config(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DDPO_BUCKET", "bucket")
+    import importlib
+
+    import ddpo_tpu.config.base as base
+    import ddpo_tpu.config.user as user
+
+    importlib.reload(user)
+    importlib.reload(base)
+
+
+def test_sample_driver_quant_int8(tmp_path, monkeypatch):
+    """sample.py --quant int8: RWR collection with the quantized sampling
+    UNet writes valid images (mirrors the generate-driver test; the two
+    drivers gate the flag independently, pipelines/sample.py)."""
+    _reload_config(tmp_path, monkeypatch)
+    from ddpo_tpu.data.hdf5 import LocalReader
+    from ddpo_tpu.pipelines import sample
+
+    n = sample.main(
+        ["--dataset", "debug-animals", "--n_inference_steps", "2",
+         "--resolution", "32", "--quant", "int8", "--max_steps", "1",
+         "--n_samples_per_device", "1", "--local_size", "8",
+         "--mask_mode", "percentile", "--mask_param", "0",
+         "--savepath", "samples/q8"]
+    )
+    assert n >= 1
+    reader = LocalReader(
+        str(tmp_path / "bucket" / "logs" / "debug-animals" / "samples" / "q8")
+    )
+    assert len(reader) == n
+    images = np.asarray(reader.get(slice(0, n), field="images"), np.float32)
+    assert np.isfinite(images).all()
+
+
+def test_sample_driver_quant_int8_dpmpp(tmp_path, monkeypatch):
+    """The stacked fastest-collection path: --quant int8 --scheduler dpm++
+    through the RWR collection driver (trajectory-free ODE sampler with
+    quantized resnet convs)."""
+    _reload_config(tmp_path, monkeypatch)
+    from ddpo_tpu.data.hdf5 import LocalReader
+    from ddpo_tpu.pipelines import sample
+
+    n = sample.main(
+        ["--dataset", "debug-animals", "--n_inference_steps", "3",
+         "--resolution", "32", "--quant", "int8", "--scheduler", "dpm++",
+         "--max_steps", "1", "--n_samples_per_device", "1",
+         "--local_size", "8", "--mask_mode", "percentile",
+         "--mask_param", "0", "--savepath", "samples/q8dpm"]
+    )
+    assert n >= 1
+    reader = LocalReader(
+        str(tmp_path / "bucket" / "logs" / "debug-animals" / "samples" / "q8dpm")
+    )
+    images = np.asarray(reader.get(slice(0, n), field="images"), np.float32)
+    assert np.isfinite(images).all()
+
+
+def test_generate_driver_quant_int8_dpmpp(tmp_path, monkeypatch):
+    """The stacked fastest-generation path: --quant int8 --scheduler dpm++
+    through generate.py."""
+    _reload_config(tmp_path, monkeypatch)
+    import json
+    import os
+
+    from ddpo_tpu.pipelines import generate
+
+    outdir, prompts = generate.main(
+        ["--dataset", "debug-animals", "--quant", "int8",
+         "--scheduler", "dpm++", "--n_samples", "2",
+         "--n_inference_steps", "3", "--prompts", "['a dog']",
+         "--seed", "3"]
     )
     pngs = [f for f in os.listdir(outdir)
             if f.endswith(".png") and not f.startswith("grid")]
