@@ -211,6 +211,14 @@ base = {
         "max_grad_norm": 1.0,
         "save_freq": 10,
         "optimizer": "adamw",
+        # "none" (reduce grads at the param dtype — fp32 masters, the
+        # reference's pmean semantics) | "bfloat16" | "float32". bfloat16
+        # halves the dp all-reduce bytes (compile-measured:
+        # bench_grad_reduce.py) — matters most on DCN multi-slice where
+        # the reduce rides ~25 GB/s. Off by default pending a multi-slice
+        # learning-parity run at scale; per-step numerics pinned by
+        # tests/test_grad_reduce.py.
+        "grad_reduce_dtype": "none",
         "train_timestep_ratio": 1.0,
         "prompt_kwargs": {},
         "per_prompt_stats_bufsize": 32,
@@ -222,8 +230,10 @@ base = {
         # minibatch scan) vs the host loop (numpy shuffle + one dispatch
         # per minibatch). Measured a WASH at production geometry (v5e,
         # bs8 T50 512px train_bs2: 35.3s resident vs 35.5s host, 1.006x
-        # — bench_resident.py, round 4): 4 dispatches of ~9s each leave
-        # nothing for dispatch overhead to save. Host loop stays the
+        # — bench_resident.py, round 4; measured under --optimizer
+        # adafactor, the choice that fits both loops' state in HBM at
+        # that geometry — the pg default stays adamw): 4 dispatches of
+        # ~9s each leave nothing for dispatch overhead to save. Host loop stays the
         # default for its simpler failure surface and per-minibatch
         # host-visible infos; the resident path remains available and
         # equivalence-tested for geometries with many small minibatches.
@@ -300,6 +310,17 @@ compressed_animals = _dataset(
     sample=dict(_FILTER_SAMPLE),
     train={"train_cfg": True, "train_batch_size": 4, "num_train_epochs": 50,
            "save_freq": 20, "dtype": "float32"},
+)
+
+# Measured-best DDPO recipe on the flagship task (no reference equivalent):
+# LoRA r=8 @ lr 1e-3 adamw. 40-epoch real-chip curves (BENCHLOG round 4)
+# show it learns PAST full finetune (best reward -189.7 vs -207.3) with a
+# 1.25x faster train step (73.7 vs 91.9 ms), 537x fewer trainables, and a
+# 180x smaller train state (checkpoints + dp all-reduce traffic).
+compressed_animals_lora = _dataset(
+    "lora-compressed-animals-r8", "imagenet_animals", "jpeg",
+    sample=dict(_FILTER_SAMPLE),
+    pg={"lora_rank": 8, "learning_rate": 1e-3},
 )
 
 neg_compressed_animals = _dataset(

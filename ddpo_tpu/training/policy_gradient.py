@@ -202,6 +202,50 @@ def train_step(
     return new_state, info
 
 
+def _fused_grads(
+    params,
+    apply_fn: Callable,
+    per_t: Dict[str, jnp.ndarray],
+    shared: Dict[str, jnp.ndarray],
+    scheduler: DDIMScheduler,
+    scheduler_state: DDIMState,
+    train_cfg: bool,
+    guidance_scale: float,
+    eta: float,
+    clip_range: float,
+    cfg_concat: bool,
+) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+    """Timestep-scanned PPO gradients, averaged over T (see train_step_fused)."""
+    num_t = per_t["ts"].shape[0]
+
+    def one_t(carry, slice_t):
+        grad_sum, info_sum = carry
+        full = dict(slice_t, **shared)
+
+        def compute_loss(p):
+            return ppo_loss(
+                p, apply_fn, full, scheduler, scheduler_state,
+                train_cfg, guidance_scale, eta, clip_range, cfg_concat,
+            )
+
+        grads, info = jax.grad(compute_loss, has_aux=True)(params)
+        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+        info_sum = jax.tree_util.tree_map(jnp.add, info_sum, info)
+        return (grad_sum, info_sum), None
+
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zero_info = {
+        "approx_kl": jnp.zeros(()),
+        "clipfrac": jnp.zeros(()),
+        "loss": jnp.zeros(()),
+    }
+    (grad_sum, info_sum), _ = jax.lax.scan(one_t, (zero_grads, zero_info), per_t)
+
+    grads = jax.tree_util.tree_map(lambda g: g / num_t, grad_sum)
+    info = jax.tree_util.tree_map(lambda x: x / num_t, info_sum)
+    return grads, info
+
+
 def train_step_fused(
     state: AccumulatingTrainState,
     batch: Dict[str, jnp.ndarray],
@@ -214,6 +258,8 @@ def train_step_fused(
     do_opt_update: bool,
     cfg_concat: bool = False,
     frozen: Any = None,
+    grad_reduce_mesh: Any = None,
+    grad_reduce_dtype: Any = None,
 ) -> Tuple[AccumulatingTrainState, Dict[str, jnp.ndarray]]:
     """Scan over the timestep axis on device: one dispatch per trajectory.
 
@@ -223,6 +269,17 @@ def train_step_fused(
     the optimizer firing on the last), then applied once. ``frozen`` as in
     ``train_step`` (runtime argument; closed-over tracer inside the scan —
     XLA hoists the loop-invariant merge out of the while loop).
+
+    grad_reduce_mesh/grad_reduce_dtype: optional reduced-precision gradient
+    all-reduce. The default GSPMD path reduces gradients at the parameter
+    dtype — fp32 masters mean a 3.28 GB fp32 all-reduce per update at
+    SD-1.4 scale (compile-measured, bench_scaling_model.py). With a mesh
+    and a dtype (e.g. bf16), the grad computation runs inside a shard_map
+    over the 'dp' axis, casts the local grads to that dtype BEFORE the
+    psum, and casts back to the param dtype after — halving dp traffic
+    (the reference all-reduces fp32 via pmean,
+    /root/reference/ddpo/training/policy_gradient.py:141-142). Requires a
+    pure-dp mesh (sp=tp=1); batch must divide by dp.
     """
     apply_fn = _bind_frozen(state.apply_fn, frozen)
     per_t = {
@@ -231,33 +288,55 @@ def train_step_fused(
     shared = {
         k: batch[k] for k in ("advantages", "prompt_embeds", "uncond_embeds")
     }
-    num_t = batch["ts"].shape[0]
 
-    def one_t(carry, slice_t):
-        grad_sum, info_sum = carry
-        full = dict(slice_t, **shared)
+    if grad_reduce_dtype is not None:
+        assert grad_reduce_mesh is not None
+        mesh = grad_reduce_mesh
+        assert mesh.shape.get("sp", 1) == 1 and mesh.shape.get("tp", 1) == 1, (
+            "grad_reduce_dtype supports pure-dp meshes (sp=tp=1): with tp/sp "
+            "the gradient reduction is not a single dp psum"
+        )
+        from jax.sharding import PartitionSpec as P
 
-        def compute_loss(params):
-            return ppo_loss(
-                params, apply_fn, full, scheduler, scheduler_state,
+        from ddpo_tpu.parallel.mesh import shard_map_compat
+
+        def local_grads(params, sched_state, per_t_l, shared_l, frozen_l):
+            afn = _bind_frozen(state.apply_fn, frozen_l)
+            grads, info = _fused_grads(
+                params, afn, per_t_l, shared_l, scheduler, sched_state,
                 train_cfg, guidance_scale, eta, clip_range, cfg_concat,
             )
+            # local mean grads -> dtype-reduced psum -> global mean grads:
+            # pmean of per-shard means == the GSPMD global-batch mean
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(grad_reduce_dtype), grads
+            )
+            grads = jax.lax.pmean(grads, "dp")
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), grads, params
+            )
+            info = jax.lax.pmean(info, "dp")
+            return grads, info
 
-        grads, info = jax.grad(compute_loss, has_aux=True)(state.params)
-        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
-        info_sum = jax.tree_util.tree_map(jnp.add, info_sum, info)
-        return (grad_sum, info_sum), None
+        grads, info = shard_map_compat(
+            local_grads,
+            mesh,
+            in_specs=(
+                P(),                                     # params: replicated
+                P(),                                     # scheduler state
+                {k: P(None, "dp") for k in per_t},       # (T, B, ...)
+                {k: P("dp") for k in shared},            # (B, ...)
+                P(),                                     # frozen tree
+            ),
+            out_specs=(P(), P()),
+        )(state.params, scheduler_state, per_t, shared, frozen)
+    else:
+        grads, info = _fused_grads(
+            state.params, apply_fn, per_t, shared, scheduler,
+            scheduler_state, train_cfg, guidance_scale, eta, clip_range,
+            cfg_concat,
+        )
 
-    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-    zero_info = {
-        "approx_kl": jnp.zeros(()),
-        "clipfrac": jnp.zeros(()),
-        "loss": jnp.zeros(()),
-    }
-    (grad_sum, info_sum), _ = jax.lax.scan(one_t, (zero_grads, zero_info), per_t)
-
-    grads = jax.tree_util.tree_map(lambda g: g / num_t, grad_sum)
-    info = jax.tree_util.tree_map(lambda x: x / num_t, info_sum)
     new_state = state.apply_gradients(grads=grads, do_update=do_opt_update)
     return new_state, info
 
