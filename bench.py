@@ -205,6 +205,36 @@ def measure_training(res: int):
     return None
 
 
+def _run_phase_json(script_name: str, res: int, timeout_env: str):
+    """Run a sibling bench script, return its final JSON line (or None)."""
+    import subprocess
+    import sys
+
+    timeout = float(os.environ.get(timeout_env, "2400"))
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), script_name
+    )
+    env = dict(os.environ)
+    env.setdefault("TRAIN_BENCH_RES", str(res))
+    try:
+        proc = subprocess.run(
+            [sys.executable, script],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# {script_name} timed out; skipping")
+        return None
+    if proc.returncode != 0:
+        print(f"# {script_name} failed (rc={proc.returncode}); skipping")
+        print("\n".join(proc.stderr.splitlines()[-5:]))
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
 def main():
     s = measure_sampling()
     sampler_line = {
@@ -232,30 +262,45 @@ def main():
     sps_ref = b / t_epoch_ref
     sps_opt = b / t_epoch_opt
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"DDPO samples/sec/chip ({steps}-step {s['res']}px "
-                    "sample + PPO epoch)"
-                ),
-                "value": round(sps_opt, 4),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(sps_opt / sps_ref, 3),
-                "baseline_samples_per_sec_chip": round(sps_ref, 4),
-                "epoch_s": round(t_epoch_opt, 2),
-                "baseline_epoch_s": round(t_epoch_ref, 2),
-                # round-1/2-comparable sampler phase
-                "sampler_images_per_sec_chip": sampler_line["value"],
-                "sampler_vs_baseline": sampler_line["vs_baseline"],
-                # train phase (bench_train.py, default shipped config)
-                "train_ms_per_sample_timestep": t["value"],
-                "train_vs_baseline": t["vs_baseline"],
-                "batch": b,
-                "device": s["device"],
-            }
-        )
-    )
+    line = {
+        "metric": (
+            f"DDPO samples/sec/chip ({steps}-step {s['res']}px "
+            "sample + PPO epoch)"
+        ),
+        "value": round(sps_opt, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps_opt / sps_ref, 3),
+        "baseline_samples_per_sec_chip": round(sps_ref, 4),
+        "epoch_s": round(t_epoch_opt, 2),
+        "baseline_epoch_s": round(t_epoch_ref, 2),
+        # round-1/2-comparable sampler phase
+        "sampler_images_per_sec_chip": sampler_line["value"],
+        "sampler_vs_baseline": sampler_line["vs_baseline"],
+        # train phase (bench_train.py, default shipped config)
+        "train_ms_per_sample_timestep": t["value"],
+        "train_vs_baseline": t["vs_baseline"],
+        "batch": b,
+        "device": s["device"],
+    }
+
+    # second headline row: the measured-best shipped recipe
+    # (`--dataset compressed-animals-lora`, r=8 @ lr 1e-3 — learns PAST
+    # full finetune on the flagship task, BENCHLOG round 4). Same epoch
+    # composition with the LoRA step time from bench_lora.py.
+    if not os.environ.get("BENCH_NO_FAST_PRESET"):
+        lora = _run_phase_json("bench_lora.py", s["res"], "BENCH_TRAIN_TIMEOUT")
+        if lora is not None and lora.get("value"):
+            t_epoch_fast = b / s["ips"] + b * steps * lora["value"] / 1e3
+            sps_fast = b / t_epoch_fast
+            line.update({
+                "fast_preset": "compressed-animals-lora (r=8, lr 1e-3)",
+                "fast_preset_samples_per_sec_chip": round(sps_fast, 4),
+                "fast_preset_vs_baseline": round(sps_fast / sps_ref, 3),
+                "fast_preset_epoch_s": round(t_epoch_fast, 2),
+                "lora_ms_per_sample_timestep": lora["value"],
+            })
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -3,7 +3,8 @@
 Beyond-reference capability: the reference trains the full 860M UNet
 (pipeline/policy_gradient.py state holds full params + Adam moments); LoRA
 freezes the base and trains rank-r adapters on the attention projections —
-~300x smaller optimizer/checkpoint state at r=8. Pins:
+measured at r=8: 537x fewer trainables, 180x smaller train state
+(bench_lora.py on v5e). Pins:
 
 - merged(init) == base bitwise (B=0), which is what preserves the PPO
   on-policy invariant when a LoRA run starts;
@@ -159,6 +160,59 @@ def test_policy_gradient_driver_lora(tmp_path, monkeypatch):
     leaves = jax.tree_util.tree_leaves(merged)
     assert sum(x.size for x in leaves) > 1e5  # a full UNet, not adapters
     assert "time_embedding" in merged
+
+
+def test_lora_preset_resolves_measured_recipe():
+    """`--dataset compressed-animals-lora` is the shipped measured-best
+    recipe (BENCHLOG round 4): r=8 adapters at lr 1e-3 under adamw."""
+    from ddpo_tpu.utils.parser import Parser
+
+    args = Parser().parse_args(
+        "pg", ["--dataset", "compressed-animals-lora"], setup=False
+    )
+    assert args.lora_rank == 8
+    assert args.learning_rate == 1e-3
+    assert args.optimizer == "adamw"
+    assert args.prompt_fn == "imagenet_animals"
+    assert args.filter_field == "jpeg"
+
+
+def test_policy_gradient_driver_lora_preset(tmp_path, monkeypatch):
+    """The shipped LoRA preset runs end-to-end through the pg driver (tiny
+    model/geometry overrides for CPU; the recipe knobs come from the
+    preset itself): trains at lr 1e-3, checkpoints the adapter tree,
+    exports a merged UNet."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DDPO_BUCKET", "bucket")
+    import importlib
+
+    import ddpo_tpu.config.base as base
+    import ddpo_tpu.config.user as user
+
+    importlib.reload(user)
+    importlib.reload(base)
+    from ddpo_tpu.pipelines import policy_gradient
+
+    rewards = policy_gradient.main(
+        ["--dataset", "compressed-animals-lora", "--model_preset", "tiny",
+         "--resolution", "32", "--n_inference_steps", "2",
+         "--sample_batch_size", "1", "--train_batch_size", "1",
+         "--num_train_epochs", "1", "--save_freq", "1",
+         "--dtype", "float32", "--sample_dtype", "float32",
+         "--train_dtype", "float32"]
+    )
+    assert len(rewards) == 1 and np.isfinite(rewards[0])
+
+    ckpt_root = (
+        tmp_path / "bucket" / "logs" / "lora-compressed-animals-r8"
+        / "models" / "pg"
+    )
+    assert (ckpt_root / "checkpoints" / "0").exists()
+    logdir = (
+        tmp_path / "logs" / "bucket" / "logs" / "lora-compressed-animals-r8"
+        / "models" / "pg"
+    )
+    assert (logdir / "unet_0.pkl").exists()
 
 
 @pytest.mark.slow
