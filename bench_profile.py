@@ -7,7 +7,12 @@ remote relay). Each op is wrapped so its output is adapted back to the input
 shape (slice/tile — fused into the carry add, negligible) to keep the
 dependence chain. Drives kernel-optimization priorities.
 
-Usage: python bench_profile.py [batch]
+Usage: python bench_profile.py [batch] [--quant]
+
+--quant profiles the W8A8 int8 inference configuration (quantized resnet
+and up/downsample convs, ops/quant.py) — the round-2/3 bf16 decomposition
+(attention 28%, elementwise ~45%, convs 12%) predates the int8 conv path;
+this pins the post-quantization bottleneck ordering.
 """
 
 import sys
@@ -50,7 +55,10 @@ def _adapt(out, like_channels):
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ddpo_tpu_compile_cache")
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    argv = [a for a in sys.argv[1:]]
+    quant = "--quant" in argv
+    argv = [a for a in argv if a != "--quant"]
+    batch = int(argv[0]) if argv else 8
     b = 2 * batch  # CFG
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
@@ -60,7 +68,11 @@ def main():
     )
     from ddpo_tpu.models import UNet2DCondition
 
-    print(f"device: {jax.devices()[0].device_kind} | CFG batch {b}", flush=True)
+    print(
+        f"device: {jax.devices()[0].device_kind} | CFG batch {b}"
+        + (" | quant=int8" if quant else ""),
+        flush=True,
+    )
     ctx = jax.random.normal(key, (b, 77, 768), dtype)
     temb = jax.random.normal(key, (b, 1280), dtype)
 
@@ -80,7 +92,7 @@ def main():
     ]
     for label, hw, cin, cout, count in resnets:
         x = jax.random.normal(key, (b, hw, hw, cin), dtype)
-        mod = ResnetBlock2D(out_channels=cout, dtype=dtype)
+        mod = ResnetBlock2D(out_channels=cout, dtype=dtype, quant=quant)
         params = mod.init(key, x, temb)["params"]
         t = timeit_looped(
             lambda x, temb: _adapt(mod.apply({"params": params}, x, temb), x.shape[-1]),
@@ -107,9 +119,9 @@ def main():
         ("down 64->32 C320", Downsample2D(320, dtype=dtype), (b, 64, 64, 320)),
         ("down 32->16 C640", Downsample2D(640, dtype=dtype), (b, 32, 32, 640)),
         ("down 16->8 C1280", Downsample2D(1280, dtype=dtype), (b, 16, 16, 1280)),
-        ("up 8->16 C1280", Upsample2D(1280, dtype=dtype), (b, 8, 8, 1280)),
-        ("up 16->32 C1280", Upsample2D(1280, dtype=dtype), (b, 16, 16, 1280)),
-        ("up 32->64 C640", Upsample2D(640, dtype=dtype), (b, 32, 32, 640)),
+        ("up 8->16 C1280", Upsample2D(1280, dtype=dtype, quant=quant), (b, 8, 8, 1280)),
+        ("up 16->32 C1280", Upsample2D(1280, dtype=dtype, quant=quant), (b, 16, 16, 1280)),
+        ("up 32->64 C640", Upsample2D(640, dtype=dtype, quant=quant), (b, 32, 32, 640)),
     ]
     for label, mod, shape in updown:
         x = jax.random.normal(key, shape, dtype)
@@ -123,7 +135,7 @@ def main():
         total += t
         print(f"{label:26s}: {t*1e3:7.3f} ms (incl. shape-restore resize)", flush=True)
 
-    model = UNet2DCondition(dtype=dtype)
+    model = UNet2DCondition(dtype=dtype, quant=quant)
     lat = jax.random.normal(key, (b, 4, 64, 64), jnp.float32)
     ts = jnp.full((b,), 500, jnp.int32)
     ctx32 = jax.random.normal(key, (b, 77, 768), jnp.float32)
