@@ -82,6 +82,20 @@ def main():
         train_step_fused,
     )
 
+    from ddpo_tpu.ops import (
+        set_conv_kernel_enabled,
+        set_flash_enabled,
+        set_gn_stats_kernel_enabled,
+    )
+
+    # AOT topology compile (no chips attached): Mosaic custom-calls can't be
+    # auto-partitioned by GSPMD, so force the XLA paths for every Pallas op
+    # (attention, conv3x3, GN stats). The grad pytree — and therefore the
+    # all-reduce bytes being measured — is identical under either impl.
+    set_flash_enabled(False)
+    set_conv_kernel_enabled(False)
+    set_gn_stats_kernel_enabled(False)
+
     res = int(os.environ.get("SCALE_BENCH_RES", "512"))
     train_bs = int(os.environ.get("SCALE_BENCH_TRAIN_BS", "2"))
     num_t = int(os.environ.get("SCALE_BENCH_T", "10"))

@@ -162,6 +162,20 @@ def _gn_stats_kernel(x_ref, out_ref, *, gsize):
         out_ref[0] += block
 
 
+_STATS_OVERRIDE: Optional[bool] = None
+
+
+def set_gn_stats_kernel_enabled(value: Optional[bool]) -> None:
+    """Force the Pallas GroupNorm-stats kernel on/off (None = auto).
+
+    Mirrors conv.set_conv_kernel_enabled. False is required for AOT
+    topology compiles with GSPMD-sharded operands: Mosaic custom-calls
+    cannot be auto-partitioned (the dp shard_map paths are fine — kernels
+    there see per-shard shapes)."""
+    global _STATS_OVERRIDE
+    _STATS_OVERRIDE = value
+
+
 def _group_stats(xf: jnp.ndarray, g: int, interpret: Optional[bool] = None):
     """(n, s, c) -> (sums (n, g), sq_sums (n, g)) via the stats kernel.
 
@@ -169,8 +183,13 @@ def _group_stats(xf: jnp.ndarray, g: int, interpret: Optional[bool] = None):
     unfriendly shape); callers fall back to the XLA einsum path.
     """
     n, s, c = xf.shape
+    if _STATS_OVERRIDE is False:
+        return None
     if interpret is None:
-        if jax.default_backend() not in ("tpu", "axon"):
+        if _STATS_OVERRIDE is None and jax.default_backend() not in (
+            "tpu",
+            "axon",
+        ):
             return None
         interpret = False
     if g > _STATS_LANES or c % g:
